@@ -1,0 +1,38 @@
+"""Headline benchmark: one JSON line for the driver.
+
+Metric: rays*steps/s for one differentiable forward+backward step on a 256^3
+synthetic volume at 1024^2 (BASELINE.md headline config; baseline target
+1e9 rays*steps/s/chip).
+"""
+from __future__ import annotations
+
+import json
+import sys
+
+BASELINE_RAY_STEPS_PER_S = 1.0e9  # BASELINE.md: >=10^9 rays*steps/s/chip
+
+
+def main() -> int:
+    import jax
+
+    backend = jax.default_backend()
+    if backend == "cpu":
+        # Keep the CPU fallback tiny so the script always completes.
+        size, viewport, iters = 32, 64, 2
+    else:
+        size, viewport, iters = 256, 1024, 5
+
+    from volrt.bench.harness import bench_diff_step
+
+    m = bench_diff_step(volume_size=size, viewport=viewport, iters=iters)
+    print(json.dumps({
+        "metric": "diff_fwd_bwd_ray_steps_per_s",
+        "value": m["ray_steps_per_s"],
+        "unit": "rays*steps/s",
+        "vs_baseline": m["ray_steps_per_s"] / BASELINE_RAY_STEPS_PER_S,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

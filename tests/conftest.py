@@ -8,7 +8,11 @@ run the suite on real TPU hardware instead.
 import os
 
 if not os.environ.get("VOLRT_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # Override, don't setdefault: the environment may pre-set
+    # JAX_PLATFORMS to a TPU plugin. Some plugin builds only honor
+    # JAX_PLATFORM_NAME, so set both.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (

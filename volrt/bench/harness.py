@@ -1,0 +1,227 @@
+"""Scripted multi-configuration benchmark suite.
+
+Rebuilds the reference benchmark mode (reference: VolR.cpp:225-321) on TPU:
+the same sweep structure — datasets, optimization toggles (ERT/ESL), viewport
+scales 0.9..0.3, ray-step factors 1.1..1.7 — across the renderer ladder, with
+8 fixed camera poses per config (4 orientations x {ortho, perspective},
+reference: VolR.cpp:233-248), a per-frame timeout analog, and avg/max/samples
+CSV reports (reference: VolR.cpp:200-223). Adds derived rays/s and
+rays*steps/s plus the differentiable fwd+bwd benchmark (no reference analog).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from volrt.core.types import Raycaster, Volume, make_raycaster
+from volrt.core.view import Camera
+from volrt.utils.logger import get_logger
+from volrt.utils.profiler import Profiler
+
+MAX_BENCH_SAMPLE_MS = 7500.0  # reference: VolR.cpp:26
+
+# 4 poses x {ortho, persp} (reference: VolR.cpp:233-248).
+BENCH_ANGLES = [
+    (0.0, 0.0, 0.0),
+    (-90.0, 0.0, 0.0),
+    (0.0, -90.0, 0.0),
+    (45.0, 45.0, 0.0),
+]
+
+
+@dataclasses.dataclass
+class BenchConfig:
+    name: str
+    volume_size: int = 64
+    viewport: int = 256
+    esl: bool = True
+    ert: bool = True
+    ray_step_factor: float = 1.0
+    interpolation: str = "trilinear"
+    light_kd: float = 0.6
+
+
+def synthetic_volume(n: int, seed: int = 0) -> np.ndarray:
+    """Deterministic procedural volume: soft shell + central blob."""
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    c = (n - 1) / 2.0
+    r = np.sqrt((x - c) ** 2 + (y - c) ** 2 + (z - c) ** 2) / c
+    shell = np.exp(-((r - 0.7) ** 2) / 0.02) * 200
+    blob = np.exp(-(r ** 2) / 0.08) * 255
+    rng = np.random.default_rng(seed)
+    noise = rng.uniform(0, 20, size=(n, n, n))
+    return np.clip(shell + blob + noise, 0, 255).astype(np.uint8)
+
+
+def default_suite(small: bool = False) -> list[BenchConfig]:
+    """The benchmark sweep, mirroring the reference's 24-config structure
+    (reference: VolR.cpp:34-38,270-321) with synthetic datasets."""
+    cfgs: list[BenchConfig] = []
+    # Dataset sweep (reference configs 1-7: seven PVM datasets).
+    sizes = [32, 64, 128] if small else [32, 64, 128, 256]
+    for n in sizes:
+        cfgs.append(BenchConfig(f"synthetic_{n}", volume_size=n))
+    # Optimization toggles on one dataset (reference configs 8-10).
+    base = 64 if small else 128
+    cfgs.append(BenchConfig("no_optim", base, esl=False, ert=False))
+    cfgs.append(BenchConfig("ert_only", base, esl=False, ert=True))
+    cfgs.append(BenchConfig("ert_esl", base, esl=True, ert=True))
+    # Viewport scale sweep (reference configs 11-17).
+    for s in ([0.9, 0.5] if small else [0.9, 0.7, 0.5, 0.3]):
+        cfgs.append(
+            BenchConfig(f"viewport_{s}", base, viewport=int(512 * s))
+        )
+    # Ray-step factor sweep (reference configs 18-24).
+    for f in ([1.1, 1.7] if small else [1.1, 1.3, 1.5, 1.7]):
+        cfgs.append(BenchConfig(f"ray_step_{f}", base, ray_step_factor=f))
+    return cfgs
+
+
+def make_raycaster_for(cfg: BenchConfig, volume: Volume | None = None,
+                       camera: Camera | None = None) -> Raycaster:
+    from volrt.core.types import default_ray_step
+
+    if volume is None:
+        volume = Volume.from_numpy(synthetic_volume(cfg.volume_size))
+    if camera is None:
+        camera = Camera(dims=(cfg.viewport, cfg.viewport))
+    step = default_ray_step(volume.dims) * cfg.ray_step_factor
+    return make_raycaster(
+        volume,
+        view=camera.view(),
+        ray_step=step,
+        ray_threshold=0.95 if cfg.ert else 1.1,
+        esl=cfg.esl,
+        light_kd=cfg.light_kd,
+        interpolation=cfg.interpolation,
+    )
+
+
+def renderer_fns(rc: Raycaster, renderers: list[int]):
+    """(id, name, fn) for each requested ladder rung applicable to ``rc``."""
+    from volrt.renderers import get_renderer, renderer_name
+
+    out = []
+    for rid in renderers:
+        mod = get_renderer(rid)
+        if rid in (2,) and rc.interpolation != "nearest":
+            continue
+        if rid in (3, 4) and rc.interpolation != "trilinear":
+            continue
+        if rid in (3, 4):
+            fn = lambda rc=rc, mod=mod: mod.render_float(rc)[0]
+        else:
+            fn = lambda rc=rc, mod=mod: mod.render_float(rc)
+        out.append((rid, renderer_name(rid), fn))
+    return out
+
+
+def run_suite(
+    configs: list[BenchConfig] | None = None,
+    renderers: list[int] = (1, 3, 4),
+    frames: int = 8,
+    warmup: int = 1,
+    profiler: Profiler | None = None,
+    logger=None,
+) -> Profiler:
+    """Run the benchmark sweep; returns the filled profiler.
+
+    Each (config, renderer) renders ``frames`` samples over the 8 reference
+    camera poses; configs whose first frame exceeds the reference's 7.5 s
+    timeout are skipped for that renderer (reference: VolR.cpp:237).
+    """
+    log = (logger or get_logger()).log
+    prof = profiler or Profiler()
+    configs = configs if configs is not None else default_suite()
+
+    for cfg in configs:
+        volume = Volume.from_numpy(synthetic_volume(cfg.volume_size))
+        camera = Camera(dims=(cfg.viewport, cfg.viewport))
+        poses = []
+        for angles in BENCH_ANGLES:
+            for persp in (False, True):
+                camera.perspective = persp
+                camera.toggle_perspective(update_mode=True)
+                camera.set_camera_position(angles)
+                poses.append(camera.view())
+
+        for rid in renderers:
+            rc0 = make_raycaster_for(cfg, volume, camera)
+            fns = renderer_fns(rc0, [rid])
+            if not fns:
+                continue
+            _, name, _ = fns[0]
+            timed_out = False
+            for f in range(max(frames, warmup + 1)):
+                view = poses[f % len(poses)]
+                rc = rc0.replace(view=view)
+                fn = renderer_fns(rc, [rid])[0][2]
+                t0 = time.perf_counter()
+                try:
+                    result = fn()
+                    jax.block_until_ready(result)
+                except Exception as e:  # OOM / unsupported size
+                    log(f"bench {cfg.name}/{name}: skipped ({e})")
+                    timed_out = True
+                    break
+                ms = (time.perf_counter() - t0) * 1e3
+                if f >= warmup:  # first frame pays compilation
+                    prof.start(cfg.name, name)
+                    prof._t0 = time.perf_counter() - ms / 1e3
+                    prof.stop()
+                if ms > MAX_BENCH_SAMPLE_MS and f >= warmup:
+                    timed_out = True
+                    break
+            if timed_out:
+                continue
+        log(f"bench config {cfg.name} done")
+    return prof
+
+
+def bench_diff_step(
+    volume_size: int = 256,
+    viewport: int = 1024,
+    ray_step: float | None = None,
+    iters: int = 10,
+) -> dict:
+    """Benchmark one differentiable forward+backward step (loss+grads) —
+    the BASELINE.md headline metric: rays*steps/s for fwd+bwd."""
+    from volrt.core.types import default_ray_step
+    from volrt.diff.render import scene_from_volume
+    from volrt.train.fit import l2_loss
+
+    vol = synthetic_volume(volume_size)
+    dims = (volume_size,) * 3
+    if ray_step is None:
+        ray_step = default_ray_step(dims)
+    from volrt.core.tf import default_transfer_fn
+
+    scene = scene_from_volume(
+        jnp.asarray(vol), default_transfer_fn(), ray_step
+    )
+    cam = Camera(dims=(viewport, viewport))
+    view = cam.view()
+    target = jnp.zeros((viewport, viewport, 4), jnp.float32)
+
+    grad_fn = jax.jit(jax.value_and_grad(l2_loss))
+    loss, grads = grad_fn(scene, view, target)
+    jax.block_until_ready(grads.density)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, grads = grad_fn(scene, view, target)
+    jax.block_until_ready(grads.density)
+    dt = (time.perf_counter() - t0) / iters
+
+    n_rays = viewport * viewport
+    n_steps = int(2.0 / ray_step)  # in-cube steps per ray (full march)
+    return {
+        "ms": dt * 1e3,
+        "rays_per_s": n_rays / dt,
+        "ray_steps_per_s": n_rays * n_steps / dt,
+        "loss": float(loss),
+    }

@@ -1,0 +1,226 @@
+"""Command-line interface: ``volrt render | bench | fit | info``.
+
+The offline replacement for the reference's interactive app + CLI
+(reference: VolR.cpp:339-410): the same knob set — file, renderer, viewport
+scale, ray step, ERT/ESL toggles, benchmark mode — exposed as flags; frames
+render to PNG instead of a GLUT window (interactivity is subsumed by
+"render(view, tf, params) is a fast jitted function").
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_render_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-f", "--file", help="PVM/DDS/RAW volume file "
+                   "(default: built-in synthetic volume)")
+    p.add_argument("--synthetic", type=int, default=64,
+                   help="synthetic volume size if no file given")
+    p.add_argument("-r", "--renderer", type=int, default=3,
+                   help="renderer id 0-4 (reference: -r flag)")
+    p.add_argument("-s", "--size", type=int, nargs=2, default=(512, 512),
+                   metavar=("W", "H"), help="viewport size")
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="viewport scale factor (reference GLUI slider)")
+    p.add_argument("--ray-step", type=float, default=None)
+    p.add_argument("--ray-threshold", type=float, default=0.95)
+    p.add_argument("--no-esl", action="store_true")
+    p.add_argument("--no-ert", action="store_true")
+    p.add_argument("--light-kd", type=float, default=0.6)
+    p.add_argument("--interpolation", choices=("nearest", "trilinear"),
+                   default=None,
+                   help="default: nearest for renderers 0-2, trilinear 3-4")
+    p.add_argument("--angles", type=float, nargs=3, default=(0.0, 0.0, 0.0),
+                   help="camera orbit angles (deg)")
+    p.add_argument("--distance", type=float, default=3.0)
+    p.add_argument("--perspective", action="store_true")
+
+
+def _load_volume(args):
+    from volrt.core.types import Volume
+
+    if args.file:
+        from volrt.io.pvm import load_volume
+
+        vol, meta = load_volume(args.file)
+        return Volume.from_numpy(vol), meta
+    from volrt.bench.harness import synthetic_volume
+
+    return Volume.from_numpy(synthetic_volume(args.synthetic)), {}
+
+
+def _make_rc(args):
+    from volrt.core.types import make_raycaster
+    from volrt.core.view import Camera
+
+    volume, _ = _load_volume(args)
+    w, h = args.size
+    cam = Camera(dims=(int(w * args.scale), int(h * args.scale)),
+                 perspective=args.perspective)
+    cam.toggle_perspective(update_mode=True)
+    cam.set_camera_position(tuple(args.angles), args.distance)
+    interp = args.interpolation
+    if interp is None:
+        interp = "trilinear" if args.renderer >= 3 else "nearest"
+    return make_raycaster(
+        volume,
+        view=cam.view(),
+        ray_step=args.ray_step,
+        ray_threshold=1.1 if args.no_ert else args.ray_threshold,
+        esl=not args.no_esl,
+        light_kd=args.light_kd,
+        interpolation=interp,
+    )
+
+
+def cmd_render(args) -> int:
+    from volrt.renderers import get_renderer, renderer_name
+    from volrt.utils.logger import Logger
+    from volrt.viz import write_png
+
+    log = Logger(args.log, quiet=False)
+    rc = _make_rc(args)
+    mod = get_renderer(args.renderer)
+    log.log_time("rendering with %s ...", renderer_name(args.renderer))
+    img = mod.render(rc)
+    img = np.asarray(img)
+    write_png(args.output, img[::-1])  # y-up render buffer -> top-down PNG
+    log.log_time("wrote %s (%dx%d)", args.output, img.shape[1], img.shape[0])
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from volrt.bench.harness import default_suite, run_suite
+    from volrt.utils.logger import Logger
+
+    log = Logger(args.log)
+    prof = run_suite(
+        configs=default_suite(small=args.small),
+        renderers=tuple(args.renderers),
+        frames=args.frames,
+        logger=log,
+    )
+    log.log(prof.print_avg())
+    log.log(prof.print_max())
+    log.log(prof.print_samples())
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(prof.print_avg() + "\n\n" + prof.print_max()
+                    + "\n\n" + prof.print_samples() + "\n")
+    return 0
+
+
+def cmd_fit(args) -> int:
+    """Inverse rendering demo: recover a density volume from rendered views."""
+    import jax.numpy as jnp
+
+    from volrt.core.tf import default_transfer_fn
+    from volrt.core.view import Camera
+    from volrt.core.types import default_ray_step
+    from volrt.diff.render import DiffScene, render_diff_image
+    from volrt.train.fit import fit, make_optimizer, init_state
+    from volrt.train import checkpoint as ckpt
+    from volrt.utils.logger import Logger
+
+    log = Logger(args.log)
+    volume, _ = _load_volume(args)
+    dims = volume.dims
+    step = args.ray_step or default_ray_step(dims)
+    tf_base = default_transfer_fn()
+
+    # Ground-truth scene renders the targets; optimization starts from zero.
+    from volrt.diff.render import scene_from_volume
+
+    gt = scene_from_volume(volume.data, tf_base, step)
+    cams = []
+    for ax, ay in [(0, 0), (0, 90), (90, 0), (45, 45)]:
+        c = Camera(dims=tuple(args.size))
+        c.set_camera_position((ax, ay, 0.0))
+        cams.append(c.view())
+    targets = [(v, render_diff_image(gt, v)) for v in cams]
+    log.log_time("rendered %d target views", len(targets))
+
+    scene = DiffScene(
+        density=jnp.zeros(volume.data.shape, jnp.float32),
+        tf_base=tf_base,
+        ray_step=step,
+    )
+    scene, losses = fit(
+        scene, targets, steps=args.steps, lr=args.lr,
+        train_tf=False, log_every=max(1, args.steps // 10), logger=log,
+    )
+    log.log_time("final loss %.6f", losses[-1])
+    if args.checkpoint:
+        opt = make_optimizer(args.lr)
+        ckpt.save(args.checkpoint, init_state(scene, opt))
+        log.log("saved checkpoint to %s", args.checkpoint)
+    return 0
+
+
+def cmd_info(args) -> int:
+    """Device + volume report (reference: VolR.cpp:175-193 device report)."""
+    import jax
+
+    info = {
+        "jax_version": jax.__version__,
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "device_count": jax.device_count(),
+    }
+    if args.file:
+        from volrt.io.pvm import load_volume
+
+        vol, meta = load_volume(args.file)
+        info["volume"] = {
+            "shape_zyx": list(vol.shape),
+            "dtype": str(vol.dtype),
+            **{k: (list(v) if isinstance(v, tuple) else v)
+               for k, v in meta.items()},
+        }
+    print(json.dumps(info, indent=2, default=str))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="volrt",
+        description="TPU-native differentiable volume raycaster",
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="render one frame to PNG")
+    _add_render_args(p)
+    p.add_argument("-o", "--output", default="out.png")
+    p.add_argument("--log", default="volrt.log")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("bench", help="run the benchmark suite")
+    p.add_argument("--renderers", type=int, nargs="+", default=[1, 3, 4])
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--small", action="store_true")
+    p.add_argument("-o", "--output", default=None, help="CSV report path")
+    p.add_argument("--log", default="volrt.log")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("fit", help="inverse-rendering fit demo")
+    _add_render_args(p)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--log", default="volrt.log")
+    p.set_defaults(fn=cmd_fit)
+
+    p = sub.add_parser("info", help="device and volume info")
+    p.add_argument("-f", "--file", default=None)
+    p.set_defaults(fn=cmd_info)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

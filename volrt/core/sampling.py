@@ -102,6 +102,47 @@ def sample_trilinear(volume: Volume, pos: jax.Array) -> jax.Array:
     return (c0 * (1 - fz) + c1 * fz) / 255.0
 
 
+def sample_trilinear_f(grid: jax.Array, pos: jax.Array) -> jax.Array:
+    """Trilinear sample of a float density grid ``f32[D, H, W]`` (values in
+    grid units, typically [0, 1]) at world positions ``(..., 3)``.
+
+    Same CUDA-texture coordinate convention as :func:`sample_trilinear`, but
+    differentiable w.r.t. ``grid`` (and ``pos``) — the sampling path used by
+    the differentiable renderer for trainable voxel grids.
+    """
+    d, h, w = grid.shape
+    n = jnp.array([w, h, d], jnp.float32)
+    t = (pos + 1.0) * 0.5 * n - 0.5
+    i0 = jnp.floor(t)
+    frac = t - i0
+    i0 = i0.astype(jnp.int32)
+    i1 = i0 + 1
+    nmax = jnp.array([w - 1, h - 1, d - 1], jnp.int32)
+    i0 = jnp.clip(i0, 0, nmax)
+    i1 = jnp.clip(i1, 0, nmax)
+
+    x0, y0, z0 = i0[..., 0], i0[..., 1], i0[..., 2]
+    x1, y1, z1 = i1[..., 0], i1[..., 1], i1[..., 2]
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+
+    c000 = grid[z0, y0, x0]
+    c001 = grid[z0, y0, x1]
+    c010 = grid[z0, y1, x0]
+    c011 = grid[z0, y1, x1]
+    c100 = grid[z1, y0, x0]
+    c101 = grid[z1, y0, x1]
+    c110 = grid[z1, y1, x0]
+    c111 = grid[z1, y1, x1]
+
+    c00 = c000 * (1 - fx) + c001 * fx
+    c01 = c010 * (1 - fx) + c011 * fx
+    c10 = c100 * (1 - fx) + c101 * fx
+    c11 = c110 * (1 - fx) + c111 * fx
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
 def tf_lookup_bucket(transfer_fn: jax.Array, sample_u8: jax.Array) -> jax.Array:
     """Bucketed TF lookup for integer samples: ``tf[sample // TF_RATIO]``.
 

@@ -1,0 +1,110 @@
+"""Scan-based differentiable volume renderer (pure XLA, pjit-partitionable).
+
+Forward semantics mirror the trilinear renderer rung (reference:
+GPURenderer4.cu:53-87): trilinear density sampling, linearly-interpolated TF,
+front-to-back premultiplied compositing — but expressed as a fixed-length
+``lax.scan`` over march steps with per-ray masks instead of data-dependent
+loops, which makes the whole march reverse-differentiable by construction.
+ERT becomes a differentiable-safe mask update (gradients simply stop flowing
+through terminated steps, matching the forward's zero contribution).
+
+Trainable leaves:
+  * ``density``: ``f32[D, H, W]`` voxel grid in [0, 1] (the float analog of
+    the reference's uint8 volume: u8/255).
+  * ``tf_base``: ``f32[TF_SIZE, 4]`` un-premultiplied RGBA LUT;
+    premultiplication (reference: RaycasterBase.cpp:46-52) happens in-graph.
+
+The pixel axis is embarrassingly parallel: under pjit, shard the ray bundle
+and XLA inserts the collectives for the parameter gradients (psum over the
+ray axis) automatically.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from volrt.constants import TF_SIZE
+from volrt.core import rays as rays_mod
+from volrt.core import sampling
+from volrt.core.types import View, _pytree_dataclass
+
+
+@_pytree_dataclass(meta_fields=("ray_step",))
+class DiffScene:
+    """Trainable scene parameters + static march config."""
+
+    density: jax.Array   # f32[D, H, W] in [0, 1]
+    tf_base: jax.Array   # f32[TF_SIZE, 4] un-premultiplied
+    ray_step: float
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+def _march_n_steps(ray_step: float) -> int:
+    import math
+
+    return int(math.ceil(2.0 * math.sqrt(3.0) / ray_step)) + 2
+
+
+def render_diff(
+    scene: DiffScene,
+    origins: jax.Array,      # (..., 3)
+    directions: jax.Array,   # (..., 3)
+    ray_threshold: jax.Array | float = 0.95,
+) -> jax.Array:
+    """Render rays differentiably; returns premultiplied RGBA ``(..., 4)``."""
+    knear, kfar, hit = rays_mod.intersect_aabb(origins, directions)
+    n_steps = _march_n_steps(scene.ray_step)
+    premult_tf = jnp.concatenate(
+        [scene.tf_base[:, :3] * scene.tf_base[:, 3:4], scene.tf_base[:, 3:4]],
+        axis=-1,
+    )
+
+    def tf_lookup(val):
+        t = val * TF_SIZE - 0.5
+        i0 = jnp.floor(t)
+        frac = (t - i0)[..., None]
+        i0 = i0.astype(jnp.int32)
+        lo = jnp.clip(i0, 0, TF_SIZE - 1)
+        hi = jnp.clip(i0 + 1, 0, TF_SIZE - 1)
+        return premult_tf[lo] * (1 - frac) + premult_tf[hi] * frac
+
+    def step(carry, i):
+        acc, alive = carry
+        k = knear + i * scene.ray_step
+        pt = origins + directions * k[..., None]
+        val = sampling.sample_trilinear_f(scene.density, pt)
+        color = tf_lookup(val)
+        mask = (alive & (k <= kfar))[..., None]
+        acc = acc + jnp.where(mask, color * (1.0 - acc[..., 3:4]), 0.0)
+        alive = alive & (acc[..., 3] <= ray_threshold) & (k <= kfar)
+        return (acc, alive), None
+
+    acc0 = jnp.zeros(origins.shape[:-1] + (4,), jnp.float32)
+    (acc, _), _ = jax.lax.scan(
+        step, (acc0, hit), jnp.arange(n_steps, dtype=jnp.float32)
+    )
+    return acc
+
+
+@partial(jax.jit, static_argnames=())
+def render_diff_image(
+    scene: DiffScene, view: View, ray_threshold: jax.Array | float = 0.95
+) -> jax.Array:
+    """Render a full viewport differentiably -> ``f32[H, W, 4]``."""
+    origins, directions = rays_mod.get_rays(view)
+    return render_diff(scene, origins, directions, ray_threshold)
+
+
+def scene_from_volume(volume_u8: jax.Array, tf_base: jax.Array,
+                      ray_step: float) -> DiffScene:
+    """Wrap an integer volume as a differentiable scene (u8 -> [0,1] f32)."""
+    return DiffScene(
+        density=volume_u8.astype(jnp.float32) / 255.0,
+        tf_base=tf_base.astype(jnp.float32),
+        ray_step=float(ray_step),
+    )

@@ -1,0 +1,120 @@
+"""Gradient-descent fitting of a DiffScene to target images.
+
+The ``volrt fit`` training loop: render the scene differentiably, L2-compare
+against target images over one or more camera poses, and optimize the voxel
+density grid and/or the transfer-function LUT with optax. Under a device
+mesh, pixel rows are sharded across devices and parameter gradients are
+all-reduced by XLA-inserted collectives (psum over the ray axis) — the
+multi-host training configuration of BASELINE.md.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from volrt.core.types import View, _pytree_dataclass
+from volrt.diff.render import DiffScene, render_diff_image
+
+
+@_pytree_dataclass(meta_fields=())
+class TrainState:
+    scene: DiffScene
+    opt_state: object
+    step: jax.Array  # int32 scalar
+
+
+def l2_loss(scene: DiffScene, view: View, target: jax.Array) -> jax.Array:
+    img = render_diff_image(scene, view)
+    return jnp.mean((img - target) ** 2)
+
+
+def make_optimizer(lr: float = 1e-2) -> optax.GradientTransformation:
+    return optax.adam(lr)
+
+
+def make_train_step(
+    optimizer: optax.GradientTransformation,
+    loss_fn: Callable = l2_loss,
+    train_density: bool = True,
+    train_tf: bool = True,
+    mesh=None,
+):
+    """Build a jitted train step ``(state, view, target) -> (state, loss)``.
+
+    With ``mesh``, the target image (and thus the ray bundle) is sharded over
+    pixel rows across devices; scene parameters are replicated and their
+    gradients psum'd by XLA. Frozen leaves get zeroed gradients (so one
+    optimizer covers density-only, TF-only and joint fits).
+    """
+
+    def step(state: TrainState, view: View, target: jax.Array):
+        loss, grads = jax.value_and_grad(loss_fn)(state.scene, view, target)
+        if not train_density:
+            grads = grads.replace(density=jnp.zeros_like(grads.density))
+        if not train_tf:
+            grads = grads.replace(tf_base=jnp.zeros_like(grads.tf_base))
+        updates, opt_state = optimizer.update(
+            (grads.density, grads.tf_base), state.opt_state
+        )
+        du, tu = updates
+        scene = state.scene.replace(
+            density=jnp.clip(state.scene.density + du, 0.0, 1.0),
+            tf_base=jnp.clip(state.scene.tf_base + tu, 0.0, 1.0),
+        )
+        return TrainState(scene, opt_state, state.step + 1), loss
+
+    if mesh is None:
+        return jax.jit(step)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from volrt.dist.mesh import RAY_AXIS
+
+    rows = NamedSharding(mesh, P(RAY_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def sharded_step(state, view, target):
+        target = jax.lax.with_sharding_constraint(target, rows)
+        return step(state, view, target)
+
+    # Prefix pytree: replicate every leaf of the state and the scalar loss.
+    return jax.jit(sharded_step, out_shardings=(repl, repl))
+
+
+def init_state(scene: DiffScene,
+               optimizer: optax.GradientTransformation) -> TrainState:
+    opt_state = optimizer.init((scene.density, scene.tf_base))
+    return TrainState(scene, opt_state, jnp.int32(0))
+
+
+def fit(
+    scene: DiffScene,
+    views_and_targets: list[tuple[View, jax.Array]],
+    steps: int = 200,
+    lr: float = 1e-2,
+    train_density: bool = True,
+    train_tf: bool = True,
+    mesh=None,
+    log_every: int = 0,
+    logger=None,
+) -> tuple[DiffScene, list[float]]:
+    """Fit the scene to targets; returns (scene, per-step losses)."""
+    optimizer = make_optimizer(lr)
+    train_step = make_train_step(
+        optimizer, train_density=train_density, train_tf=train_tf, mesh=mesh
+    )
+    state = init_state(scene, optimizer)
+    losses = []
+    for i in range(steps):
+        view, target = views_and_targets[i % len(views_and_targets)]
+        state, loss = train_step(state, view, target)
+        losses.append(float(loss))
+        if log_every and (i % log_every == 0):
+            msg = f"fit step {i}: loss {losses[-1]:.6f}"
+            (logger.log if logger else print)(msg)
+    return state.scene, losses
