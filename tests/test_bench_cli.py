@@ -1,0 +1,117 @@
+"""Benchmark harness, profiler, logger and CLI smoke tests."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestProfiler:
+    def test_stats_and_tables(self):
+        from volrt.utils.profiler import MIN_SAMPLE_STAT, Profiler
+
+        p = Profiler()
+        for i in range(MIN_SAMPLE_STAT):
+            p.start("cfg_a", "r0")
+            p.stop()
+        s = p.stats["cfg_a"]["r0"]
+        assert s.samples == MIN_SAMPLE_STAT
+        assert s.max_ms >= s.avg_ms > 0.0
+        table = p.print_avg()
+        assert "cfg_a" in table and "r0" in table
+
+    def test_derived_metrics(self):
+        from volrt.utils.profiler import derived_metrics
+
+        m = derived_metrics(10.0, 1000, 50)
+        assert m["rays_per_s"] == pytest.approx(1e5)
+        assert m["ray_steps_per_s"] == pytest.approx(5e6)
+
+
+class TestLogger:
+    def test_tee_and_file(self, tmp_path, capsys):
+        from volrt.utils.logger import Logger
+
+        path = str(tmp_path / "t.log")
+        log = Logger(path, mode="w")
+        log.log("hello %d", 42)
+        log.close()
+        text = open(path).read()
+        assert "hello 42" in text
+        assert "session started" in text
+        assert "total runtime" in text
+
+
+class TestHarness:
+    def test_tiny_config_runs(self):
+        from volrt.bench.harness import BenchConfig, run_suite
+        from volrt.utils.logger import Logger
+
+        prof = run_suite(
+            configs=[BenchConfig("tiny", volume_size=16, viewport=32)],
+            renderers=(1,),
+            frames=2,
+            warmup=1,
+            logger=Logger(path=None, quiet=True),
+        )
+        assert "tiny" in prof.stats
+
+    def test_default_suite_structure(self):
+        from volrt.bench.harness import default_suite
+
+        names = [c.name for c in default_suite()]
+        # The reference sweep structure: datasets, toggles, viewport, step.
+        assert any(n.startswith("synthetic") for n in names)
+        assert {"no_optim", "ert_only", "ert_esl"} <= set(names)
+        assert any(n.startswith("viewport") for n in names)
+        assert any(n.startswith("ray_step") for n in names)
+
+
+def run_cli(*args, timeout=300):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-m", "volrt.cli", *args],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO,
+    )
+
+
+class TestCLI:
+    def test_info(self):
+        r = run_cli("info")
+        assert r.returncode == 0, r.stderr
+        info = json.loads(r.stdout)
+        assert info["device_count"] >= 1
+
+    def test_render_png(self, tmp_path):
+        out = str(tmp_path / "out.png")
+        log = str(tmp_path / "v.log")
+        r = run_cli(
+            "render", "--synthetic", "16", "-r", "1", "-s", "32", "32",
+            "-o", out, "--log", log,
+        )
+        assert r.returncode == 0, r.stderr
+        from volrt.viz import read_png
+
+        img = read_png(out)
+        assert img.shape == (32, 32, 4)
+        assert (img[..., :3].sum(axis=-1) > 0).any(), "all-black render"
+
+    def test_render_bucky_if_available(self, tmp_path):
+        bucky = "/root/reference/VolumeRendering/Bucky.pvm"
+        if not os.path.exists(bucky):
+            pytest.skip("no reference asset")
+        out = str(tmp_path / "bucky.png")
+        r = run_cli(
+            "render", "-f", bucky, "-r", "1", "-s", "48", "48",
+            "-o", out, "--log", str(tmp_path / "v.log"),
+        )
+        assert r.returncode == 0, r.stderr
+        from volrt.viz import read_png
+
+        img = read_png(out)
+        assert (img[..., :3].sum(axis=-1) > 0).any()

@@ -1,0 +1,173 @@
+"""Parity tests: Pallas renderer rungs vs the batched XLA renderer.
+
+Run in interpreter mode on CPU (conftest). Cases are small because
+interpret-mode marching is slow; the same parity is exercised at scale on
+real TPU by the benchmark suite.
+
+Tolerances: with shading off the kernels are bit-exact transcriptions of the
+batched march (same f32 ops); the MXU one-hot gathers are exact because every
+product is ``1.0 * value``. With shading on, the light-direction
+normalization uses rsqrt vs divide — documented <=2e-3 image tolerance.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import synthetic_volume
+from volrt.core.types import View, Volume, make_raycaster
+from volrt.renderers import batched
+
+
+def small_view(wh: int, oblique: bool = True, persp: bool = False) -> View:
+    step_px = 3.0 / wh
+    if oblique:
+        d = jnp.array([-0.1, -0.05, -1.0], jnp.float32)
+        d = d / jnp.linalg.norm(d)
+        origin = jnp.array([0.3, 0.2, 3.0], jnp.float32)
+    else:
+        d = jnp.array([0.0, 0.0, -1.0], jnp.float32)
+        origin = jnp.array([0.0, 0.0, 3.0], jnp.float32)
+    return View(
+        origin=origin,
+        direction=d,
+        right_plane=jnp.array([step_px, 0.0, 0.0], jnp.float32),
+        up_plane=jnp.array([0.0, step_px, 0.0], jnp.float32),
+        light_pos=jnp.array([2.0, 1.0, 3.0], jnp.float32),
+        dims=(wh, wh),
+        perspective=persp,
+    )
+
+
+def make_rc(n=16, wh=32, interp="nearest", esl=True, kd=0.0, **kw):
+    vol = Volume.from_numpy(synthetic_volume(n))
+    return make_raycaster(
+        vol, view=small_view(wh, **kw), interpolation=interp, esl=esl,
+        light_kd=kd,
+    )
+
+
+class TestPallasNN:
+    def test_parity_exact_no_shading(self):
+        from volrt.renderers.pallas import nn
+
+        rc = make_rc(kd=0.0)
+        a = np.asarray(batched.render_float(rc))
+        b = np.asarray(nn.render_float(rc))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_parity_with_shading(self):
+        from volrt.renderers.pallas import nn
+
+        rc = make_rc(kd=0.6)
+        a = np.asarray(batched.render_float(rc))
+        b = np.asarray(nn.render_float(rc))
+        np.testing.assert_allclose(a, b, atol=2e-3)
+
+    def test_esl_off(self):
+        from volrt.renderers.pallas import nn
+
+        rc = make_rc(esl=False)
+        a = np.asarray(batched.render_float(rc))
+        b = np.asarray(nn.render_float(rc))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_size_guard(self):
+        from volrt.renderers.pallas import nn
+
+        vol = Volume.from_numpy(np.zeros((129, 4, 4), np.uint8))
+        rc = make_raycaster(vol, view=small_view(16))
+        with pytest.raises(ValueError, match="pallas-nn"):
+            nn.render_float(rc)
+
+
+class TestPallasTrilinear:
+    def test_parity_no_shading(self):
+        from volrt.renderers.pallas import trilinear
+
+        rc = make_rc(interp="trilinear", kd=0.0)
+        a = np.asarray(batched.render_float(rc))
+        b, ovf = trilinear.render_float(rc)
+        assert float(ovf) == 0.0, "window overflow in small ortho scene"
+        np.testing.assert_allclose(a, np.asarray(b), atol=1e-6)
+
+    def test_parity_with_shading(self):
+        from volrt.renderers.pallas import trilinear
+
+        rc = make_rc(interp="trilinear", kd=0.6)
+        a = np.asarray(batched.render_float(rc))
+        b, ovf = trilinear.render_float(rc)
+        assert float(ovf) == 0.0
+        np.testing.assert_allclose(a, np.asarray(b), atol=2e-3)
+
+    def test_perspective(self):
+        from volrt.renderers.pallas import trilinear
+
+        rc = make_rc(interp="trilinear", kd=0.0, persp=True)
+        a = np.asarray(batched.render_float(rc))
+        b, ovf = trilinear.render_float(rc)
+        assert float(ovf) == 0.0
+        np.testing.assert_allclose(a, np.asarray(b), atol=1e-6)
+
+    def test_mode_guard(self):
+        from volrt.renderers.pallas import trilinear
+
+        rc = make_rc(interp="nearest")
+        with pytest.raises(ValueError, match="trilinear"):
+            trilinear.render_float(rc)
+
+
+class TestPallasBlocked:
+    def test_parity_no_shading(self):
+        from volrt.renderers.pallas import blocked
+
+        rc = make_rc(interp="trilinear", kd=0.0)
+        a = np.asarray(batched.render_float(rc))
+        b, ovf = blocked.render_float(rc)
+        assert float(ovf) == 0.0
+        np.testing.assert_allclose(a, np.asarray(b), atol=1e-6)
+
+    def test_wide_volume(self):
+        """W > 128 exercises the x-windowed DMA path (unavailable to rung 3)."""
+        from volrt.renderers.pallas import blocked
+
+        data = synthetic_volume(32)
+        wide = np.concatenate([data] * 5, axis=2)  # (32, 32, 160): W=160
+        vol = Volume.from_numpy(wide)
+        rc = make_raycaster(
+            vol, view=small_view(32), interpolation="trilinear", esl=True,
+            light_kd=0.0,
+        )
+        a = np.asarray(batched.render_float(rc))
+        b, ovf = blocked.render_float(rc)
+        assert float(ovf) == 0.0
+        np.testing.assert_allclose(a, np.asarray(b), atol=1e-6)
+
+
+class TestLayout:
+    def test_tile_untile_roundtrip(self):
+        from volrt.renderers.pallas import layout
+
+        rng = np.random.default_rng(0)
+        img = rng.standard_normal((40, 56, 3)).astype(np.float32)
+        wp, hp = layout.pad_dims(56, 40)
+        padded = np.zeros((hp, wp, 3), np.float32)
+        padded[:40, :56] = img
+        tiles = layout.tile_rays(jnp.asarray(padded), 56, 40)
+        assert tiles.shape == (
+            (hp // 16) * (wp // 16), layout.RAYS_PER_TILE, 3
+        )
+        back = np.asarray(layout.untile_rays(tiles, 56, 40))
+        np.testing.assert_array_equal(back, img)
+
+    def test_band_offsets_nonnegative(self):
+        from volrt.renderers.pallas import layout
+
+        rc = make_rc()
+        tiles = np.asarray(layout.prepare_ray_tiles(rc))
+        j0 = tiles[..., layout.CH_J0]
+        alive = tiles[..., layout.CH_ALIVE] > 0
+        assert (j0[alive] >= 0).all()
+        # Every tile with an alive ray has one ray starting at band 0.
+        for t in range(tiles.shape[0]):
+            if alive[t].any():
+                assert j0[t][alive[t]].min() == 0

@@ -1,1 +1,7 @@
-from volrt.io.pvm import load_volume, read_pvm, read_raw, write_pvm  # noqa: F401
+from volrt.io.pvm import (  # noqa: F401
+    load_volume,
+    read_dds,
+    read_pvm,
+    read_raw,
+    write_pvm,
+)

@@ -198,6 +198,17 @@ def _interleave_chunk(chunk: np.ndarray, skip: int) -> np.ndarray:
     return out
 
 
+def _decode_body(body: bytes, block: int) -> bytes:
+    """DDS body decode: native C++ decoder when available (volrt.native),
+    else the numpy pipeline above."""
+    from volrt import native
+
+    out = native.dds_decode(body, block)
+    if out is not None:
+        return out
+    return dds_decode(body, block)
+
+
 def read_dds(path: str) -> bytes | None:
     """Read a file, transparently decoding a DDS container if present.
     Returns None if the file does not exist."""
@@ -206,9 +217,11 @@ def read_dds(path: str) -> bytes | None:
     with open(path, "rb") as f:
         raw = f.read()
     if raw.startswith(DDS_MAGIC_V1):
-        return dds_decode(raw[len(DDS_MAGIC_V1) :], block=0)
+        return _decode_body(raw[len(DDS_MAGIC_V1) :], block=0)
     if raw.startswith(DDS_MAGIC_V2):
-        return dds_decode(raw[len(DDS_MAGIC_V2) :], block=DDS_INTERLEAVE_BLOCK)
+        return _decode_body(
+            raw[len(DDS_MAGIC_V2) :], block=DDS_INTERLEAVE_BLOCK
+        )
     return raw
 
 

@@ -146,8 +146,14 @@ def _kernel(
         ix0, _, iy0, _, iz0, _ = coords(px, py, pz)
         big = jnp.int32(1 << 20)
         amask = alive > 0.0
-        z0 = jnp.clip(jnp.min(jnp.where(amask, iz0, big)) - MARGIN, 0, d - wz)
-        y0 = jnp.clip(jnp.min(jnp.where(amask, iy0, big)) - MARGIN, 0, h - wy)
+        z0 = jnp.clip(
+            jnp.min(jnp.where(amask, iz0, big)) - MARGIN,
+            0, vol_ref.shape[0] - wz,
+        )
+        y0 = jnp.clip(
+            jnp.min(jnp.where(amask, iy0, big)) - MARGIN,
+            0, vol_ref.shape[1] - wy,
+        )
         x0 = jnp.clip(
             jnp.min(jnp.where(amask, ix0, big)) - MARGIN,
             0, vol_ref.shape[2] - WX,

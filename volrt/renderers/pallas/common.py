@@ -32,12 +32,15 @@ def pad_volume_2d(volume: Volume) -> jax.Array:
 
 
 def pad_volume_3d(volume: Volume, dtype=jnp.float32) -> jax.Array:
-    """Volume as ``(D, H, Xpad)`` with x padded to 128 lanes."""
+    """Volume as ``(Dpad, Hpad, Xpad)``: x padded to 128 lanes, z/y padded to
+    sublane multiples of 8 so window slices stay in bounds."""
     w, h, d = volume.dims
     if w > X_LANES:
         raise ValueError(f"volume W={w} exceeds {X_LANES} lanes")
     data = volume.data.astype(dtype)
-    return jnp.pad(data, ((0, 0), (0, 0), (0, X_LANES - w)))
+    dp = -(-d // 8) * 8
+    hp = -(-h // 8) * 8
+    return jnp.pad(data, ((0, dp - d), (0, hp - h), (0, X_LANES - w)))
 
 
 def pad_volume_3d_any(volume: Volume, dtype=jnp.uint8) -> jax.Array:
@@ -46,7 +49,9 @@ def pad_volume_3d_any(volume: Volume, dtype=jnp.uint8) -> jax.Array:
     w, h, d = volume.dims
     xpad = -(-w // X_LANES) * X_LANES
     data = volume.data.astype(dtype)
-    return jnp.pad(data, ((0, 0), (0, 0), (0, xpad - w)))
+    dp = -(-d // 8) * 8
+    hp = -(-h // 8) * 8
+    return jnp.pad(data, ((0, dp - d), (0, hp - h), (0, xpad - w)))
 
 
 def pad_tf(transfer_fn: jax.Array) -> jax.Array:

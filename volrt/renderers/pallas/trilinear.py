@@ -163,8 +163,8 @@ def _kernel(
         amask = alive > 0.0
         z0 = jnp.min(jnp.where(amask, iz0, big)) - MARGIN
         y0 = jnp.min(jnp.where(amask, iy0, big)) - MARGIN
-        z0 = jnp.clip(z0, 0, d - wz)
-        y0 = jnp.clip(y0, 0, h - wy)
+        z0 = jnp.clip(z0, 0, vol_ref.shape[0] - wz)
+        y0 = jnp.clip(y0, 0, vol_ref.shape[1] - wy)
         brick = vol_ref[pl.ds(z0, wz), pl.ds(y0, wy), :].reshape(wz * wy, xpad)
 
         sval, ovf1 = window_sample(alive, brick, z0, y0, px, py, pz)
@@ -247,12 +247,11 @@ def default_window(rc: Raycaster) -> tuple[int, int]:
     if rc.view.perspective:
         span *= 4.5
     win = int(span) + 2 * MARGIN + 2
-    wz = max(4, min(vd, win))
-    wy = max(4, min(vh, win))
-    # Round the row count to something MXU-friendly.
-    while (wz * wy) % 8:
-        wy += 1
-    return wz, wy
+    # Round to sublane multiples: Mosaic slices VMEM in (8, 128) granules.
+    win = -(-win // 8) * 8
+    wz = min(-(-vd // 8) * 8, win)
+    wy = min(-(-vh // 8) * 8, win)
+    return max(8, wz), max(8, wy)
 
 
 def render_tiles(
