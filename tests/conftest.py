@@ -20,6 +20,16 @@ if not os.environ.get("VOLRT_TEST_TPU"):
         ).strip()
     os.environ.setdefault("VOLRT_PALLAS_INTERPRET", "1")
 
+    # A site hook may have imported jax before this file ran, in which case
+    # the XLA_FLAGS above were read too late; the config route still works
+    # until the backend is instantiated.
+    import jax
+
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

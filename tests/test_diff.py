@@ -113,8 +113,11 @@ class TestFit:
         gt = tiny_scene()
         view = tiny_view()
         target = render_diff_image(gt, view)
+        # Start from a nonzero constant: at exactly zero density the TF
+        # lerp's two taps coincide (clamped index -1 -> 0,0) and the
+        # density gradient vanishes identically.
         scene = DiffScene(
-            density=jnp.zeros_like(gt.density),
+            density=jnp.full_like(gt.density, 0.3),
             tf_base=gt.tf_base,
             ray_step=gt.ray_step,
         )

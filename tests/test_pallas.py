@@ -74,7 +74,7 @@ class TestPallasNN:
     def test_size_guard(self):
         from volrt.renderers.pallas import nn
 
-        vol = Volume.from_numpy(np.zeros((129, 4, 4), np.uint8))
+        vol = Volume.from_numpy(np.zeros((4, 4, 129), np.uint8))
         rc = make_raycaster(vol, view=small_view(16))
         with pytest.raises(ValueError, match="pallas-nn"):
             nn.render_float(rc)
@@ -88,7 +88,9 @@ class TestPallasTrilinear:
         a = np.asarray(batched.render_float(rc))
         b, ovf = trilinear.render_float(rc)
         assert float(ovf) == 0.0, "window overflow in small ortho scene"
-        np.testing.assert_allclose(a, np.asarray(b), atol=1e-6)
+        # 1e-5: the kernel's matmul-folded z/y lerp sums 4 weighted taps in
+        # one reduction vs the batched renderer's sequential lerps.
+        np.testing.assert_allclose(a, np.asarray(b), atol=1e-5)
 
     def test_parity_with_shading(self):
         from volrt.renderers.pallas import trilinear
@@ -106,7 +108,7 @@ class TestPallasTrilinear:
         a = np.asarray(batched.render_float(rc))
         b, ovf = trilinear.render_float(rc)
         assert float(ovf) == 0.0
-        np.testing.assert_allclose(a, np.asarray(b), atol=1e-6)
+        np.testing.assert_allclose(a, np.asarray(b), atol=1e-5)
 
     def test_mode_guard(self):
         from volrt.renderers.pallas import trilinear
@@ -124,7 +126,7 @@ class TestPallasBlocked:
         a = np.asarray(batched.render_float(rc))
         b, ovf = blocked.render_float(rc)
         assert float(ovf) == 0.0
-        np.testing.assert_allclose(a, np.asarray(b), atol=1e-6)
+        np.testing.assert_allclose(a, np.asarray(b), atol=1e-5)
 
     def test_wide_volume(self):
         """W > 128 exercises the x-windowed DMA path (unavailable to rung 3)."""
@@ -140,7 +142,7 @@ class TestPallasBlocked:
         a = np.asarray(batched.render_float(rc))
         b, ovf = blocked.render_float(rc)
         assert float(ovf) == 0.0
-        np.testing.assert_allclose(a, np.asarray(b), atol=1e-6)
+        np.testing.assert_allclose(a, np.asarray(b), atol=1e-5)
 
 
 class TestLayout:

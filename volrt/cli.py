@@ -144,8 +144,9 @@ def cmd_fit(args) -> int:
     targets = [(v, render_diff_image(gt, v)) for v in cams]
     log.log_time("rendered %d target views", len(targets))
 
+    # Constant init: zero density has a vanishing TF-lerp gradient.
     scene = DiffScene(
-        density=jnp.zeros(volume.data.shape, jnp.float32),
+        density=jnp.full(volume.data.shape, 0.3, jnp.float32),
         tf_base=tf_base,
         ray_step=step,
     )
@@ -186,6 +187,13 @@ def cmd_info(args) -> int:
 
 
 def main(argv=None) -> int:
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     parser = argparse.ArgumentParser(
         prog="volrt",
         description="TPU-native differentiable volume raycaster",

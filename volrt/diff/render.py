@@ -44,6 +44,10 @@ class DiffScene:
         return dataclasses.replace(self, **kw)
 
 
+# March steps per rematerialization chunk (see render_diff).
+CHECKPOINT_CHUNK = 16
+
+
 def _march_n_steps(ray_step: float) -> int:
     import math
 
@@ -84,10 +88,28 @@ def render_diff(
         alive = alive & (acc[..., 3] <= ray_threshold) & (k <= kfar)
         return (acc, alive), None
 
+    # Chunked rematerialization: without it, reverse-mode through the march
+    # saves every step's gather intermediates (O(steps * pixels) HBM — OOM at
+    # 256^3 / 1024^2). Checkpointing each chunk keeps only chunk-boundary
+    # carries and recomputes the chunk forward during backward — the standard
+    # TPU memory/FLOPs trade.
+    chunk = min(CHECKPOINT_CHUNK, n_steps)
+    n_chunks = -(-n_steps // chunk)
+
+    @jax.checkpoint
+    def chunk_step(carry, i0):
+        return (
+            jax.lax.scan(
+                lambda c, j: step(c, i0 + j),
+                carry,
+                jnp.arange(chunk, dtype=jnp.float32),
+            )[0],
+            None,
+        )
+
     acc0 = jnp.zeros(origins.shape[:-1] + (4,), jnp.float32)
-    (acc, _), _ = jax.lax.scan(
-        step, (acc0, hit), jnp.arange(n_steps, dtype=jnp.float32)
-    )
+    starts = jnp.arange(n_chunks, dtype=jnp.float32) * chunk
+    (acc, _), _ = jax.lax.scan(chunk_step, (acc0, hit), starts)
     return acc
 
 

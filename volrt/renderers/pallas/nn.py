@@ -92,6 +92,7 @@ def _kernel(
             onehot, vol_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (R, Xpad)
         ixb = jnp.broadcast_to(ix, (R, xpad))
         return jnp.take_along_axis(xrows, ixb, axis=1)[:, 0:1]
@@ -109,6 +110,7 @@ def _kernel(
             tf_oh, tf_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (R, 128); lanes 0..3 = premultiplied RGBA
         cr, cg, cb, ca = (
             color[:, 0:1], color[:, 1:2], color[:, 2:3], color[:, 3:4]

@@ -133,6 +133,7 @@ def _kernel(
             wmat, brick,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (R, xpad): z/y-interpolated x-rows
         g0 = jnp.take_along_axis(
             xrows, jnp.broadcast_to(ix0c, (R, xpad)), axis=1
@@ -144,12 +145,14 @@ def _kernel(
         return val, jnp.sum(ovf.astype(jnp.float32))
 
     def body(carry):
-        i, accr, accg, accb, acca, fin, novf = carry
+        i, k, accr, accg, accb, acca, fin, novf = carry
         # Band marching: in band i, ray r takes its (i - j0_r)-th sample on
         # its own lattice ``k0 + n*step`` — exact reference semantics, but
         # all of a band's sample points lie within one step of each other.
+        # Iterative k accumulation (k starts at the ray's own k0 and gains
+        # one +step per taken sample) reproduces the reference's float
+        # rounding exactly (reference: CPURenderer.cpp:37).
         n = i.astype(jnp.float32) - j0
-        k = k0 + n * ray_step
         started = (n >= 0.0).astype(jnp.float32)
         alive = alive0 * started * (1.0 - fin)
 
@@ -184,6 +187,7 @@ def _kernel(
             wtf, tf_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         cr, cg, cb, ca = (
             color[:, 0:1], color[:, 1:2], color[:, 2:3], color[:, 3:4]
@@ -211,19 +215,24 @@ def _kernel(
 
         # A started ray finishes on ERT or when its next sample would pass
         # kfar (reference: CPURenderer.cpp:35-38).
+        k_next = jnp.where(started > 0.0, k + ray_step, k)
         done_now = started * alive0 * (
-            (acca > thr) | (k + ray_step > kfar)
+            (acca > thr) | (k_next > kfar)
         ).astype(jnp.float32)
         fin = jnp.maximum(fin, done_now)
-        return i + 1, accr, accg, accb, acca, fin, novf + ovf1 + ovf2
+        return (
+            i + 1, k_next, accr, accg, accb, acca, fin, novf + ovf1 + ovf2
+        )
 
     def cond(carry):
-        i, _, _, _, _, fin, _ = carry
+        i, _, _, _, _, _, fin, _ = carry
         return (i < n_steps) & jnp.any(alive0 * (1.0 - fin) > 0.0)
 
     zeros = jnp.zeros((R, 1), jnp.float32)
-    init = (0, zeros, zeros, zeros, zeros, 1.0 - alive0, jnp.float32(0.0))
-    _, accr, accg, accb, acca, _, novf = jax.lax.while_loop(
+    init = (
+        0, k0, zeros, zeros, zeros, zeros, 1.0 - alive0, jnp.float32(0.0)
+    )
+    _, _, accr, accg, accb, acca, _, novf = jax.lax.while_loop(
         cond, body, init
     )
     out_ref[0] = jnp.concatenate([accr, accg, accb, acca], axis=1)
