@@ -6,29 +6,34 @@ kernels run in interpreter mode under this setup. Set ``VOLRT_TEST_TPU=1`` to
 run the suite on real TPU hardware instead.
 """
 import os
+import sys
 
-if not os.environ.get("VOLRT_TEST_TPU"):
-    # Override, don't setdefault: the environment may pre-set
-    # JAX_PLATFORMS to a TPU plugin. Some plugin builds only honor
-    # JAX_PLATFORM_NAME, so set both.
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["JAX_PLATFORM_NAME"] = "cpu"
-    flags = os.environ.get("XLA_FLAGS", "")
+if (
+    not os.environ.get("VOLRT_TEST_TPU")
+    and os.environ.get("_VOLRT_TEST_ENV") != "1"
+    and "pytest" in sys.modules  # only when actually run under pytest
+):
+    # XLA_FLAGS must be present before the interpreter starts: a site hook
+    # imports jax (and loads the XLA runtime, freezing flag parsing) before
+    # conftest runs. Re-exec pytest once with the test environment.
+    env = dict(os.environ)
+    env["_VOLRT_TEST_ENV"] = "1"
+    # Override, don't setdefault: the environment may pre-set JAX_PLATFORMS
+    # to a TPU plugin. Some plugin builds only honor JAX_PLATFORM_NAME, so
+    # set both.
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
+        env["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
-    os.environ.setdefault("VOLRT_PALLAS_INTERPRET", "1")
-
-    # A site hook may have imported jax before this file ran, in which case
-    # the XLA_FLAGS above were read too late; the config route still works
-    # until the backend is instantiated.
-    import jax
-
-    try:
-        jax.config.update("jax_num_cpu_devices", 8)
-    except Exception:
-        pass
+    env.setdefault("VOLRT_PALLAS_INTERPRET", "1")
+    os.execve(
+        sys.executable,
+        [sys.executable, "-m", "pytest", *sys.argv[1:]],
+        env,
+    )
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

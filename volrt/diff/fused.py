@@ -1,0 +1,71 @@
+"""High-level API for the fused Pallas differentiable renderer.
+
+``render_image_fused(scene, view)`` matches ``render_diff_image`` semantics
+(trilinear density sampling, TF lerp, front-to-back compositing, ERT) but
+runs the march and its analytic backward as Pallas kernels — the TPU fast
+path for training. Requires volume ``W <= 128`` (VMEM-resident variant).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from volrt.diff.render import DiffScene
+from volrt.renderers.pallas import diff_tri, layout
+from volrt.renderers.pallas.common import X_LANES
+
+
+def _pad_density(density: jax.Array) -> jax.Array:
+    d, h, w = density.shape
+    if w > X_LANES:
+        raise ValueError(
+            f"fused diff path requires volume W <= {X_LANES}; got {w}"
+        )
+    dp = -(-d // 8) * 8
+    hp = -(-h // 8) * 8
+    return jnp.pad(
+        density.astype(jnp.float32),
+        ((0, dp - d), (0, hp - h), (0, X_LANES - w)),
+    )
+
+
+def _pad_tf_premult(tf_base: jax.Array) -> jax.Array:
+    premult = jnp.concatenate(
+        [tf_base[:, :3] * tf_base[:, 3:4], tf_base[:, 3:4]], axis=-1
+    )
+    return jnp.pad(premult, ((0, 0), (0, X_LANES - 4)))
+
+
+@partial(jax.jit, static_argnames=("window",))
+def render_image_fused(
+    scene: DiffScene,
+    view,
+    ray_threshold=0.95,
+    window: tuple[int, int] | None = None,
+) -> jax.Array:
+    """Differentiable render -> ``f32[H, W, 4]`` (fused Pallas fwd/bwd)."""
+    d, h, w = scene.density.shape
+    dims = (w, h, d)
+    if window is None:
+        window = diff_tri.default_window(
+            dims, view.dims, view.perspective
+        )
+    rays = layout.prepare_ray_tiles_raw(view, scene.ray_step)
+    vol = _pad_density(scene.density)
+    tfp = _pad_tf_premult(scene.tf_base)
+    scal = jnp.concatenate([
+        jnp.asarray(ray_threshold, jnp.float32).reshape(1),
+        jnp.zeros(7, jnp.float32),
+    ]).reshape(1, 8)
+    out = diff_tri.render_tiles_diff(
+        scal, rays, vol, tfp, dims, scene.ray_step, window
+    )
+    wv, hv = view.dims
+    return layout.untile_rays(out, wv, hv)
+
+
+def l2_loss_fused(scene: DiffScene, view, target: jax.Array) -> jax.Array:
+    img = render_image_fused(scene, view)
+    return jnp.mean((img - target) ** 2)

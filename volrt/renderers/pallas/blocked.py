@@ -59,6 +59,7 @@ def _kernel(
     n_steps: int,
     wz: int,
     wy: int,
+    wxb: int,
 ):
     w, h, d = dims
     rays = rays_ref[0]
@@ -101,14 +102,14 @@ def _kernel(
         ovf = (
             (lz0 < 0) | (lz1 > wz - 1)
             | (ly0 < 0) | (ly1 > wy - 1)
-            | (lx0 < 0) | (lx1 > WX - 1)
+            | (lx0 < 0) | (lx1 > wxb - 1)
         ) & (alive > 0.0)
         lz0 = jnp.clip(lz0, 0, wz - 1)
         lz1 = jnp.clip(lz1, 0, wz - 1)
         ly0 = jnp.clip(ly0, 0, wy - 1)
         ly1 = jnp.clip(ly1, 0, wy - 1)
-        lx0 = jnp.clip(lx0, 0, WX - 1)
-        lx1 = jnp.clip(lx1, 0, WX - 1)
+        lx0 = jnp.clip(lx0, 0, wxb - 1)
+        lx1 = jnp.clip(lx1, 0, wxb - 1)
 
         wmat = (
             (row_iota == lz0 * wy + ly0) * ((1.0 - fz) * (1.0 - fy))
@@ -122,12 +123,23 @@ def _kernel(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        g0 = jnp.take_along_axis(
-            xrows, jnp.broadcast_to(lx0, (R, WX)), axis=1
-        )[:, 0:1]
-        g1 = jnp.take_along_axis(
-            xrows, jnp.broadcast_to(lx1, (R, WX)), axis=1
-        )[:, 0:1]
+        def lane_gather(lx):
+            # wxb may span multiple 128-lane chunks; gather per chunk and
+            # select (the lane gather's reach is one 128-lane block).
+            parts = []
+            for c in range(wxb // WX):
+                idx = jnp.clip(lx - c * WX, 0, WX - 1)
+                chunk = xrows[:, c * WX:(c + 1) * WX]
+                parts.append(jnp.take_along_axis(
+                    chunk, jnp.broadcast_to(idx, (R, WX)), axis=1
+                )[:, 0:1])
+            out = parts[0]
+            for c in range(1, len(parts)):
+                out = jnp.where(lx >= c * WX, parts[c], out)
+            return out
+
+        g0 = lane_gather(lx0)
+        g1 = lane_gather(lx1)
         val = (g0 * (1.0 - fx) + g1 * fx) / 255.0
         return val, jnp.sum(ovf.astype(jnp.float32))
 
@@ -153,17 +165,20 @@ def _kernel(
             jnp.min(jnp.where(amask, iz0, big)) - MARGIN,
             0, vol_ref.shape[0] - wz,
         )
+        # DMA offsets must respect the uint8 (8, 128) VMEM tiling: the
+        # second-to-last dim slices at multiples of 8, the lane dim at
+        # multiples of 128 (the window sizes carry matching slack).
         y0 = jnp.clip(
-            jnp.min(jnp.where(amask, iy0, big)) - MARGIN,
+            (jnp.min(jnp.where(amask, iy0, big)) - MARGIN) & ~7,
             0, vol_ref.shape[1] - wy,
         )
         x0 = jnp.clip(
-            jnp.min(jnp.where(amask, ix0, big)) - MARGIN,
-            0, vol_ref.shape[2] - WX,
+            (jnp.min(jnp.where(amask, ix0, big)) - MARGIN) & ~127,
+            0, vol_ref.shape[2] - wxb,
         )
 
         dma = pltpu.make_async_copy(
-            vol_ref.at[pl.ds(z0, wz), pl.ds(y0, wy), pl.ds(x0, WX)],
+            vol_ref.at[pl.ds(z0, wz), pl.ds(y0, wy), pl.ds(x0, wxb)],
             brick_ref,
             sem,
         )
@@ -172,7 +187,7 @@ def _kernel(
         # Mosaic has no direct u8 -> f32 cast; widen via int32.
         brick = (
             brick_ref[:].astype(jnp.int32).astype(jnp.float32)
-        ).reshape(wz * wy, WX)
+        ).reshape(wz * wy, wxb)
 
         sval, ovf1 = window_sample(alive, brick, z0, y0, x0, px, py, pz)
 
@@ -240,7 +255,11 @@ def _kernel(
 def default_window(rc: Raycaster) -> tuple[int, int]:
     from volrt.renderers.pallas import trilinear
 
-    return trilinear.default_window(rc)
+    wz, wy = trilinear.default_window(rc)
+    # +8 slack: the DMA-aligned y start can sit up to 7 rows below the
+    # footprint minimum. Never exceed the padded volume height.
+    vw, vh, vd = rc.volume.dims
+    return wz, min(-(-vh // 8) * 8, wy + 8)
 
 
 def render_tiles(
@@ -257,6 +276,8 @@ def render_tiles(
     ``((T, R, 4) colors, (T, 8, 128) overflow)``. shard_map-able over T."""
     t = rays.shape[0]
     wz, wy = window
+    xpad = vol3d.shape[2]
+    wxb = WX if xpad == WX else 2 * WX
     kernel = functools.partial(
         _kernel,
         dims=dims,
@@ -264,6 +285,7 @@ def render_tiles(
         n_steps=layout.max_bands(ray_step),
         wz=wz,
         wy=wy,
+        wxb=wxb,
     )
     return pl.pallas_call(
         kernel,
@@ -286,7 +308,7 @@ def render_tiles(
             jax.ShapeDtypeStruct((t, 8, 128), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((wz, wy, WX), jnp.uint8),
+            pltpu.VMEM((wz, wy, wxb), jnp.uint8),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret_mode(),

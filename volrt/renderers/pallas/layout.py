@@ -78,16 +78,26 @@ def prepare_ray_tiles(rc: Raycaster) -> jax.Array:
     """
     from volrt.renderers.batched import esl_start
 
-    w, h = rc.view.dims
+    esl_fn = None
+    if rc.esl:
+        esl_fn = lambda o, d, kn, kf, hit: esl_start(rc, o, d, kn, kf, hit)
+    return prepare_ray_tiles_raw(rc.view, rc.ray_step, esl_fn)
+
+
+def prepare_ray_tiles_raw(view, ray_step: float, esl_fn=None) -> jax.Array:
+    """:func:`prepare_ray_tiles` from raw components (no Raycaster needed —
+    used by the fused differentiable path, which has a float scene instead
+    of a uint8 Raycaster)."""
+    w, h = view.dims
     wp, hp = pad_dims(w, h)
-    origins, directions = rays_mod.get_rays(rc.view)
+    origins, directions = rays_mod.get_rays(view)
     pad = ((0, hp - h), (0, wp - w), (0, 0))
     origins = jnp.pad(origins, pad)
     directions = jnp.pad(directions, pad)
 
     o = origins.reshape(-1, 3)
     d = directions.reshape(-1, 3)
-    knear, kfar, hit = rays_mod.intersect_aabb(o, d, rc.volume.min_bound)
+    knear, kfar, hit = rays_mod.intersect_aabb(o, d)
     # Padded rays have zero direction -> intersect substitutes eps; make sure
     # they are dead regardless.
     if hp != h or wp != w:
@@ -96,8 +106,8 @@ def prepare_ray_tiles(rc: Raycaster) -> jax.Array:
         valid = (px & py).reshape(-1)
         hit = hit & valid
 
-    if rc.esl:
-        k0 = esl_start(rc, o, d, knear, kfar, hit)
+    if esl_fn is not None:
+        k0 = esl_fn(o, d, knear, kfar, hit)
     else:
         k0 = knear
     alive = hit & (k0 <= kfar)
@@ -118,7 +128,7 @@ def prepare_ray_tiles(rc: Raycaster) -> jax.Array:
     )
     kbase = jnp.where(jnp.isfinite(kbase), kbase, 0.0)
     j0 = jnp.where(
-        talive, jnp.ceil((tk0 - kbase) / rc.ray_step), 0.0
+        talive, jnp.ceil((tk0 - kbase) / ray_step), 0.0
     )
     return tiles.at[..., CH_J0].set(j0)
 
