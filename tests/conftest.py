@@ -8,32 +8,20 @@ run the suite on real TPU hardware instead.
 import os
 import sys
 
-if (
-    not os.environ.get("VOLRT_TEST_TPU")
-    and os.environ.get("_VOLRT_TEST_ENV") != "1"
-    and "pytest" in sys.modules  # only when actually run under pytest
-):
-    # XLA_FLAGS must be present before the interpreter starts: a site hook
-    # imports jax (and loads the XLA runtime, freezing flag parsing) before
-    # conftest runs. Re-exec pytest once with the test environment.
-    env = dict(os.environ)
-    env["_VOLRT_TEST_ENV"] = "1"
-    # Override, don't setdefault: the environment may pre-set JAX_PLATFORMS
-    # to a TPU plugin. Some plugin builds only honor JAX_PLATFORM_NAME, so
-    # set both.
-    env["JAX_PLATFORMS"] = "cpu"
-    env["JAX_PLATFORM_NAME"] = "cpu"
-    flags = env.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
-    env.setdefault("VOLRT_PALLAS_INTERPRET", "1")
-    os.execve(
-        sys.executable,
-        [sys.executable, "-m", "pytest", *sys.argv[1:]],
-        env,
-    )
+if not os.environ.get("VOLRT_TEST_TPU"):
+    # Force CPU with 8 virtual devices so multi-chip sharding paths run
+    # without TPU hardware. A site hook may import jax (for a TPU plugin)
+    # before this file runs, so env vars alone are unreliable — the config
+    # calls below work until the backend is instantiated. The env vars are
+    # still set for subprocesses spawned by tests (e.g. CLI runs).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    os.environ.setdefault("VOLRT_PALLAS_INTERPRET", "1")
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

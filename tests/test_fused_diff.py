@@ -46,6 +46,7 @@ class TestFusedBackward:
         assert float(jnp.linalg.norm(g_fused.density)) > 1e-4
 
     def test_width_guard(self):
+        """W > 128 cannot use the VMEM-resident variant explicitly."""
         scene, view = setup()
         wide = scene.replace(
             density=jnp.zeros((8, 8, 200), jnp.float32)
@@ -53,4 +54,4 @@ class TestFusedBackward:
         import pytest
 
         with pytest.raises(ValueError, match="W <= 128"):
-            render_image_fused(wide, view)
+            render_image_fused(wide, view, blocked=False)

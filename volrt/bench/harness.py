@@ -188,9 +188,14 @@ def bench_diff_step(
     viewport: int = 1024,
     ray_step: float | None = None,
     iters: int = 10,
+    fused: bool = True,
 ) -> dict:
     """Benchmark one differentiable forward+backward step (loss+grads) —
-    the BASELINE.md headline metric: rays*steps/s for fwd+bwd."""
+    the BASELINE.md headline metric: rays*steps/s for fwd+bwd.
+
+    ``fused=True`` uses the fused Pallas forward/backward kernels (the TPU
+    fast path); ``fused=False`` the XLA scan+remat reference path.
+    """
     from volrt.core.types import default_ray_step
     from volrt.diff.render import scene_from_volume
     from volrt.train.fit import l2_loss
@@ -208,7 +213,11 @@ def bench_diff_step(
     view = cam.view()
     target = jnp.zeros((viewport, viewport, 4), jnp.float32)
 
-    grad_fn = jax.jit(jax.value_and_grad(l2_loss))
+    if fused:
+        from volrt.diff.fused import l2_loss_fused as loss_fn
+    else:
+        loss_fn = l2_loss
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
     loss, grads = grad_fn(scene, view, target)
     jax.block_until_ready(grads.density)
     t0 = time.perf_counter()

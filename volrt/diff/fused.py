@@ -17,17 +17,19 @@ from volrt.renderers.pallas import diff_tri, layout
 from volrt.renderers.pallas.common import X_LANES
 
 
+# VMEM-resident variant budget: volume + gradient both live in VMEM
+# (~16 MB/core on this chip), so (Dpad * Hpad) * 128 lanes * 4 B * 2 must fit.
+_VMEM_ROW_LIMIT = 96 * 96
+
+
 def _pad_density(density: jax.Array) -> jax.Array:
     d, h, w = density.shape
-    if w > X_LANES:
-        raise ValueError(
-            f"fused diff path requires volume W <= {X_LANES}; got {w}"
-        )
     dp = -(-d // 8) * 8
     hp = -(-h // 8) * 8
+    xp = -(-w // X_LANES) * X_LANES
     return jnp.pad(
         density.astype(jnp.float32),
-        ((0, dp - d), (0, hp - h), (0, X_LANES - w)),
+        ((0, dp - d), (0, hp - h), (0, xp - w)),
     )
 
 
@@ -38,19 +40,30 @@ def _pad_tf_premult(tf_base: jax.Array) -> jax.Array:
     return jnp.pad(premult, ((0, 0), (0, X_LANES - 4)))
 
 
-@partial(jax.jit, static_argnames=("window",))
+@partial(jax.jit, static_argnames=("window", "blocked"))
 def render_image_fused(
     scene: DiffScene,
     view,
     ray_threshold=0.95,
     window: tuple[int, int] | None = None,
+    blocked: bool | None = None,
 ) -> jax.Array:
-    """Differentiable render -> ``f32[H, W, 4]`` (fused Pallas fwd/bwd)."""
+    """Differentiable render -> ``f32[H, W, 4]`` (fused Pallas fwd/bwd).
+
+    ``blocked=None`` auto-selects: the VMEM-resident kernel for small
+    volumes (W <= 128 and volume + gradient within the VMEM budget), the
+    HBM/DMA blocked kernel otherwise (any size).
+    """
+    from volrt.renderers.pallas import diff_blocked
+
     d, h, w = scene.density.shape
     dims = (w, h, d)
-    if window is None:
-        window = diff_tri.default_window(
-            dims, view.dims, view.perspective
+    if blocked is None:
+        dp, hp = -(-d // 8) * 8, -(-h // 8) * 8
+        blocked = (w > X_LANES) or (dp * hp > _VMEM_ROW_LIMIT)
+    if w > X_LANES and not blocked:
+        raise ValueError(
+            f"fused VMEM diff path requires volume W <= {X_LANES}; got {w}"
         )
     rays = layout.prepare_ray_tiles_raw(view, scene.ray_step)
     vol = _pad_density(scene.density)
@@ -59,9 +72,22 @@ def render_image_fused(
         jnp.asarray(ray_threshold, jnp.float32).reshape(1),
         jnp.zeros(7, jnp.float32),
     ]).reshape(1, 8)
-    out = diff_tri.render_tiles_diff(
-        scal, rays, vol, tfp, dims, scene.ray_step, window
-    )
+    if blocked:
+        if window is None:
+            window = diff_blocked.default_window(
+                dims, view.dims, view.perspective
+            )
+        out = diff_blocked.render_tiles_diff_blocked(
+            scal, rays, vol, tfp, dims, scene.ray_step, window
+        )
+    else:
+        if window is None:
+            window = diff_tri.default_window(
+                dims, view.dims, view.perspective
+            )
+        out = diff_tri.render_tiles_diff(
+            scal, rays, vol, tfp, dims, scene.ray_step, window
+        )
     wv, hv = view.dims
     return layout.untile_rays(out, wv, hv)
 
