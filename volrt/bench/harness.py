@@ -234,3 +234,54 @@ def bench_diff_step(
         "ray_steps_per_s": n_rays * n_steps / dt,
         "loss": float(loss),
     }
+
+
+def bench_sharded_render(
+    volume_size: int = 64,
+    viewport: int = 512,
+    iters: int = 10,
+    renderer: str = "pallas-blocked",
+) -> dict:
+    """Scaling benchmark: sharded render over all local devices vs one.
+
+    On a pod slice this measures ray-tile data parallelism over ICI; under
+    the CPU test mesh it validates the machinery (BASELINE.md scaling
+    metric: >=90% linear to 2 hosts).
+    """
+    import jax
+
+    from volrt.core.types import Volume
+    from volrt.dist.mesh import make_mesh
+    from volrt.dist.render import render_float_sharded
+
+    volume = Volume.from_numpy(synthetic_volume(volume_size))
+    cam = Camera(dims=(viewport, viewport))
+    rc = make_raycaster_for(
+        BenchConfig("sharded", volume_size, viewport), volume, cam
+    )
+
+    results = {}
+    n = jax.device_count()
+    for ndev in {1, n}:
+        mesh = make_mesh(jax.devices()[:ndev])
+        fn = jax.jit(
+            lambda rc: render_float_sharded(rc, mesh, renderer=renderer)[0],
+            static_argnames=(),
+        )
+        img = fn(rc)
+        jax.block_until_ready(img)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            img = fn(rc)
+        jax.block_until_ready(img)
+        dt = (time.perf_counter() - t0) / iters
+        results[ndev] = dt
+    eff = (
+        results[1] / (results[n] * n) if n > 1 and results.get(n) else 1.0
+    )
+    return {
+        "devices": n,
+        "ms_1dev": results[1] * 1e3,
+        "ms_ndev": results.get(n, results[1]) * 1e3,
+        "scaling_efficiency": eff,
+    }

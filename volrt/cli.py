@@ -38,6 +38,8 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="camera orbit angles (deg)")
     p.add_argument("--distance", type=float, default=3.0)
     p.add_argument("--perspective", action="store_true")
+    p.add_argument("--tf", default=None,
+                   help=".npy transfer-function LUT (128x4 RGBA)")
 
 
 def _load_volume(args):
@@ -53,22 +55,30 @@ def _load_volume(args):
     return Volume.from_numpy(synthetic_volume(args.synthetic)), {}
 
 
-def _make_rc(args):
+def _make_rc(args, camera=None):
     from volrt.core.types import make_raycaster
     from volrt.core.view import Camera
 
+    base_tf = None
+    if getattr(args, "tf", None):
+        from volrt.core.tf import load_tf
+
+        base_tf = load_tf(args.tf)
     volume, _ = _load_volume(args)
     w, h = args.size
-    cam = Camera(dims=(int(w * args.scale), int(h * args.scale)),
-                 perspective=args.perspective)
-    cam.toggle_perspective(update_mode=True)
-    cam.set_camera_position(tuple(args.angles), args.distance)
+    cam = camera
+    if cam is None:
+        cam = Camera(dims=(int(w * args.scale), int(h * args.scale)),
+                     perspective=args.perspective)
+        cam.toggle_perspective(update_mode=True)
+        cam.set_camera_position(tuple(args.angles), args.distance)
     interp = args.interpolation
     if interp is None:
         interp = "trilinear" if args.renderer >= 3 else "nearest"
     return make_raycaster(
         volume,
         view=cam.view(),
+        base_transfer_fn=base_tf,
         ray_step=args.ray_step,
         ray_threshold=1.1 if args.no_ert else args.ray_threshold,
         esl=not args.no_esl,
@@ -86,10 +96,29 @@ def cmd_render(args) -> int:
     rc = _make_rc(args)
     mod = get_renderer(args.renderer)
     log.log_time("rendering with %s ...", renderer_name(args.renderer))
-    img = mod.render(rc)
-    img = np.asarray(img)
-    write_png(args.output, img[::-1])  # y-up render buffer -> top-down PNG
-    log.log_time("wrote %s (%dx%d)", args.output, img.shape[1], img.shape[0])
+    if args.orbit <= 1:
+        img = np.asarray(mod.render(rc))
+        write_png(args.output, img[::-1])  # y-up buffer -> top-down PNG
+        log.log_time("wrote %s (%dx%d)", args.output,
+                     img.shape[1], img.shape[0])
+        return 0
+
+    # Orbit sequence: the offline analog of the reference's auto-rotate
+    # (reference: UI.cpp:132-139): same jitted render, new camera per frame.
+    from volrt.core.view import Camera
+
+    base, ext = (args.output.rsplit(".", 1) + ["png"])[:2]
+    step_deg = 360.0 / args.orbit
+    cam = Camera(dims=rc.view.dims, perspective=args.perspective)
+    cam.toggle_perspective(update_mode=True)
+    cam.set_camera_position(tuple(args.angles), args.distance)
+    for i in range(args.orbit):
+        frame_rc = rc.replace(view=cam.view())
+        img = np.asarray(mod.render(frame_rc))
+        path = f"{base}_{i:04d}.{ext}"
+        write_png(path, img[::-1])
+        log.log_time("frame %d/%d -> %s", i + 1, args.orbit, path)
+        cam.rotate((0.0, step_deg, 0.0))
     return 0
 
 
@@ -202,6 +231,8 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("render", help="render one frame to PNG")
     _add_render_args(p)
+    p.add_argument("--orbit", type=int, default=1,
+                   help="render N orbit frames (auto-rotate analog)")
     p.add_argument("-o", "--output", default="out.png")
     p.add_argument("--log", default="volrt.log")
     p.set_defaults(fn=cmd_render)

@@ -77,3 +77,18 @@ def editor_alpha_curve(height: jax.Array) -> jax.Array:
     """Editor drag-height -> opacity curve: ``clip(h,0,1)**4``
     (reference: UI.cpp:327-329)."""
     return jnp.clip(height, 0.0, 1.0) ** 4
+
+
+def save_tf(path: str, base_tf) -> None:
+    """Persist a base (un-premultiplied) TF LUT as .npy — the data-file
+    equivalent of the reference's interactive TF editor state."""
+    np.save(path, np.asarray(base_tf, np.float32))
+
+
+def load_tf(path: str) -> jax.Array:
+    arr = np.load(path)
+    if arr.shape != (TF_SIZE, 4):
+        raise ValueError(
+            f"TF file must be ({TF_SIZE}, 4); got {arr.shape}"
+        )
+    return jnp.asarray(arr, jnp.float32)

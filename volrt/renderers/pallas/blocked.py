@@ -168,14 +168,14 @@ def _kernel(
         # DMA offsets must respect the uint8 (8, 128) VMEM tiling: the
         # second-to-last dim slices at multiples of 8, the lane dim at
         # multiples of 128 (the window sizes carry matching slack).
-        y0 = jnp.clip(
+        y0 = pl.multiple_of(jnp.clip(
             (jnp.min(jnp.where(amask, iy0, big)) - MARGIN) & ~7,
             0, vol_ref.shape[1] - wy,
-        )
-        x0 = jnp.clip(
+        ), 8)
+        x0 = pl.multiple_of(jnp.clip(
             (jnp.min(jnp.where(amask, ix0, big)) - MARGIN) & ~127,
             0, vol_ref.shape[2] - wxb,
-        )
+        ), 128)
 
         dma = pltpu.make_async_copy(
             vol_ref.at[pl.ds(z0, wz), pl.ds(y0, wy), pl.ds(x0, wxb)],

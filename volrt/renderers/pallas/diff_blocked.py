@@ -72,7 +72,9 @@ def _window_origin(alive, ix0, iy0, iz0, vol_shape, wz, wy, wxb):
                   0, vol_shape[1] - wy)
     x0 = jnp.clip((jnp.min(jnp.where(amask, ix0, big)) - MARGIN) & ~127,
                   0, vol_shape[2] - wxb)
-    return z0, y0, x0
+    # The masks guarantee divisibility; the hints let Mosaic's DMA-offset
+    # prover see it (vol_shape dims are themselves multiples of 8/128).
+    return z0, pl.multiple_of(y0, 8), pl.multiple_of(x0, 128)
 
 
 def _fwd_kernel(
@@ -185,6 +187,8 @@ def _bwd_kernel(
     def flush(a_org):
         """RMW the accumulator into the HBM dvol buffer."""
         azo, ayo, axo = a_org
+        ayo = pl.multiple_of(ayo, 8)
+        axo = pl.multiple_of(axo, 128)
         rd = pltpu.make_async_copy(
             dvol_ref.at[pl.ds(azo, az), pl.ds(ayo, ay), pl.ds(axo, axb)],
             rmw_ref, sem2,
@@ -205,8 +209,8 @@ def _bwd_kernel(
         """Accumulator origin covering the window with drift headroom."""
         azo = jnp.clip(z0 - ACC_Z_PAD // 2, 0, vol_ref.shape[0] - az)
         ayo = jnp.clip((y0 - ACC_Y_PAD // 2) & ~7, 0, vol_ref.shape[1] - ay)
-        axo = jnp.clip(x0, 0, vol_ref.shape[2] - axb)
-        return azo, ayo, axo
+        axo = jnp.clip(x0 & ~127, 0, vol_ref.shape[2] - axb)
+        return azo, pl.multiple_of(ayo, 8), pl.multiple_of(axo, 128)
 
     # Pass 1: totals G = g . C.
     def body1(carry):
