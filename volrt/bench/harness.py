@@ -214,7 +214,13 @@ def bench_diff_step(
     target = jnp.zeros((viewport, viewport, 4), jnp.float32)
 
     if fused:
-        from volrt.diff.fused import l2_loss_fused as loss_fn
+        import functools
+
+        from volrt.diff.fused import l2_loss_fused
+
+        # fast=True: native-bf16 MXU gathers (~CUDA 9-bit texture-lerp
+        # quality) — the production training configuration.
+        loss_fn = functools.partial(l2_loss_fused, fast=True)
     else:
         loss_fn = l2_loss
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))

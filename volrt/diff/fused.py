@@ -40,13 +40,14 @@ def _pad_tf_premult(tf_base: jax.Array) -> jax.Array:
     return jnp.pad(premult, ((0, 0), (0, X_LANES - 4)))
 
 
-@partial(jax.jit, static_argnames=("window", "blocked"))
+@partial(jax.jit, static_argnames=("window", "blocked", "fast"))
 def render_image_fused(
     scene: DiffScene,
     view,
     ray_threshold=0.95,
     window: tuple[int, int] | None = None,
     blocked: bool | None = None,
+    fast: bool = False,
 ) -> jax.Array:
     """Differentiable render -> ``f32[H, W, 4]`` (fused Pallas fwd/bwd).
 
@@ -78,7 +79,7 @@ def render_image_fused(
                 dims, view.dims, view.perspective
             )
         out = diff_blocked.render_tiles_diff_blocked(
-            scal, rays, vol, tfp, dims, scene.ray_step, window
+            scal, rays, vol, tfp, dims, scene.ray_step, window, fast
         )
     else:
         if window is None:
@@ -86,12 +87,13 @@ def render_image_fused(
                 dims, view.dims, view.perspective
             )
         out = diff_tri.render_tiles_diff(
-            scal, rays, vol, tfp, dims, scene.ray_step, window
+            scal, rays, vol, tfp, dims, scene.ray_step, window, fast
         )
     wv, hv = view.dims
     return layout.untile_rays(out, wv, hv)
 
 
-def l2_loss_fused(scene: DiffScene, view, target: jax.Array) -> jax.Array:
-    img = render_image_fused(scene, view)
+def l2_loss_fused(scene: DiffScene, view, target: jax.Array,
+                  fast: bool = False) -> jax.Array:
+    img = render_image_fused(scene, view, fast=fast)
     return jnp.mean((img - target) ** 2)

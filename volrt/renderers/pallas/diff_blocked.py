@@ -80,7 +80,7 @@ def _window_origin(alive, ix0, iy0, iz0, vol_shape, wz, wy, wxb):
 def _fwd_kernel(
     scal_ref, rays_ref, vol_ref, tf_ref, out_ref,
     brick_ref, sem,
-    *, dims, ray_step, n_steps, wz, wy, wxb,
+    *, dims, ray_step, n_steps, wz, wy, wxb, fast=False,
 ):
     w, h, d = dims
     rays = rays_ref[0]
@@ -116,13 +116,13 @@ def _fwd_kernel(
         wmat, ix0c, ix1c, fx = _tap_weights(
             alive, px, py, pz, z0, y0, dims, wz, wy, row_iota
         )
-        xrows = _mm(wmat, brick)
+        xrows = _mm(wmat, brick, fast)
         v0 = _lane_gather(xrows, ix0c - x0, wxb)
         v1 = _lane_gather(xrows, ix1c - x0, wxb)
         sval = v0 * (1.0 - fx) + v1 * fx
 
         wtf, _ = _tf_weights(sval, tf_iota)
-        color = _mm(wtf, tf_ref[:])
+        color = _mm(wtf, tf_ref[:], fast)
         cr, cg, cb, ca = (color[:, 0:1], color[:, 1:2],
                           color[:, 2:3], color[:, 3:4])
 
@@ -153,7 +153,7 @@ def _bwd_kernel(
     scal_ref, rays_ref, vol_ref, tf_ref, g_ref, dvol_in_ref,
     dvol_ref, dtf_ref,
     brick_ref, sem, acc_ref, rmw_ref, sem2,
-    *, dims, ray_step, n_steps, wz, wy, wxb, az, ay, axb,
+    *, dims, ray_step, n_steps, wz, wy, wxb, az, ay, axb, fast=False,
 ):
     del dvol_in_ref  # aliased to dvol_ref; only the alias matters
     w, h, d = dims
@@ -164,8 +164,9 @@ def _bwd_kernel(
     alive0 = rays[:, 8:9]
     j0 = rays[:, 9:10]
     thr = scal_ref[0, 0]
-    g = g_ref[0]
+    g = g_ref[0]  # (R, 8): cols 0-3 cotangent, col 4 G = g . C (forward)
     gr, gg, gb, ga = g[:, 0:1], g[:, 1:2], g[:, 2:3], g[:, 3:4]
+    G_total = g[:, 4:5]
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, wz * wy), 1)
     tf_iota = jax.lax.broadcasted_iota(jnp.int32, (R, wxb), 1)  # x one-hots
@@ -212,49 +213,9 @@ def _bwd_kernel(
         axo = jnp.clip(x0 & ~127, 0, vol_ref.shape[2] - axb)
         return azo, pl.multiple_of(ayo, 8), pl.multiple_of(axo, 128)
 
-    # Pass 1: totals G = g . C.
-    def body1(carry):
-        i, k, acca, fin, P = carry
-        n = i.astype(jnp.float32) - j0
-        started = (n >= 0.0).astype(jnp.float32)
-        alive = alive0 * started * (1.0 - fin)
-        px, py, pz = ox + dx * k, oy + dy * k, oz + dz * k
-        ix0, _, iy0, _, iz0, _ = _coords(px, py, pz, dims)
-        z0, y0, x0 = _window_origin(
-            alive, ix0, iy0, iz0, vol_ref.shape, wz, wy, wxb
-        )
-        brick = fetch_brick(z0, y0, x0)
-        wmat, ix0c, ix1c, fx = _tap_weights(
-            alive, px, py, pz, z0, y0, dims, wz, wy, row_iota
-        )
-        xrows = _mm(wmat, brick)
-        v0 = _lane_gather(xrows, ix0c - x0, wxb)
-        v1 = _lane_gather(xrows, ix1c - x0, wxb)
-        sval = v0 * (1.0 - fx) + v1 * fx
-        wtf, _ = _tf_weights(sval, tfl_iota)
-        color = _mm(wtf, tf_ref[:])
-        cr, cg, cb, ca = (color[:, 0:1], color[:, 1:2],
-                          color[:, 2:3], color[:, 3:4])
-        T = alive * (1.0 - acca)
-        P = P + (gr * cr + gg * cg + gb * cb + ga * ca) * T
-        acca = acca + ca * T
-        k_next = jnp.where(started > 0.0, k + ray_step, k)
-        done = started * alive0 * (
-            (acca > thr) | (k_next > kfar)).astype(jnp.float32)
-        fin = jnp.maximum(fin, done)
-        return i + 1, k_next, acca, fin, P
-
-    def cond1(carry):
-        return (carry[0] < n_steps) & jnp.any(
-            alive0 * (1.0 - carry[3]) > 0.0
-        )
-
+    # Single replay: gradients with the drift-flushed accumulator
+    # (G = g . C comes precomputed from the saved forward output).
     z_ = jnp.zeros((R, 1), jnp.float32)
-    G_total = jax.lax.while_loop(
-        cond1, body1, (0, k0, z_, 1.0 - alive0, z_)
-    )[4]
-
-    # Pass 2: gradients with the drift-flushed accumulator.
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def body2(carry):
@@ -289,13 +250,13 @@ def _bwd_kernel(
         wmat, ix0c, ix1c, fx = _tap_weights(
             alive, px, py, pz, z0, y0, dims, wz, wy, row_iota
         )
-        xrows = _mm(wmat, brick)
+        xrows = _mm(wmat, brick, fast)
         v0 = _lane_gather(xrows, ix0c - x0, wxb)
         v1 = _lane_gather(xrows, ix1c - x0, wxb)
         sval = v0 * (1.0 - fx) + v1 * fx
 
         wtf, dwtf = _tf_weights(sval, tfl_iota)
-        color = _mm(wtf, tf_ref[:])
+        color = _mm(wtf, tf_ref[:], fast)
         cr, cg, cb, ca = (color[:, 0:1], color[:, 1:2],
                           color[:, 2:3], color[:, 3:4])
         T = alive * (1.0 - acca)
@@ -313,9 +274,9 @@ def _bwd_kernel(
              jnp.zeros((R, tf_ref.shape[1] - 4), jnp.float32)],
             axis=1,
         ) * alive
-        dtf_ref[...] += _mm_t(wtf, dcol)
+        dtf_ref[...] += _mm_t(wtf, dcol, fast)
 
-        slope = _mm(dwtf, tf_ref[:]) * TF_SIZE
+        slope = _mm(dwtf, tf_ref[:], fast) * TF_SIZE
         dsval = (
             slope[:, 0:1] * dcr + slope[:, 1:2] * dcg
             + slope[:, 2:3] * dcb + slope[:, 3:4] * dca
@@ -328,9 +289,13 @@ def _bwd_kernel(
             + (tf_iota == lx1).astype(jnp.float32) * fx
         )
         dxrows = dsval * wx
-        dbrick = _mm_t(wmat, dxrows).reshape(wz, wy, wxb)
-        # Accumulate at the window's offset inside the accumulator.
-        oz_, oy_, ox_ = z0 - azo, y0 - ayo, x0 - axo
+        dbrick = _mm_t(wmat, dxrows, fast).reshape(wz, wy, wxb)
+        # Accumulate at the window's offset inside the accumulator. The
+        # offsets are differences of like-aligned values; re-state the
+        # alignment (the while-loop carry drops it).
+        oz_ = z0 - azo
+        oy_ = pl.multiple_of(y0 - ayo, 8)
+        ox_ = pl.multiple_of(x0 - axo, 128)
         acc_ref[pl.ds(oz_, wz), pl.ds(oy_, wy), pl.ds(ox_, wxb)] += dbrick
 
         acca = acca + ca * T
@@ -375,14 +340,15 @@ def _specs(t, vol_shape, tfp_shape, with_grad):
     ]
     if with_grad:
         in_specs += [
-            pl.BlockSpec((1, R, 4), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, R, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
     return in_specs
 
 
-def _pallas_fwd(scal, rays, vol, tfp, *, dims, ray_step, window):
+def _pallas_fwd(scal, rays, vol, tfp, *, dims, ray_step, window,
+                fast=False):
     t = rays.shape[0]
     wz, wy = window
     xpad = vol.shape[2]
@@ -390,6 +356,7 @@ def _pallas_fwd(scal, rays, vol, tfp, *, dims, ray_step, window):
     kernel = functools.partial(
         _fwd_kernel, dims=dims, ray_step=ray_step,
         n_steps=layout.max_bands(ray_step), wz=wz, wy=wy, wxb=wxb,
+        fast=fast,
     )
     return pl.pallas_call(
         kernel,
@@ -406,7 +373,8 @@ def _pallas_fwd(scal, rays, vol, tfp, *, dims, ray_step, window):
     )(scal, rays, vol, tfp)
 
 
-def _pallas_bwd(scal, rays, vol, tfp, g, *, dims, ray_step, window):
+def _pallas_bwd(scal, rays, vol, tfp, gG, *, dims, ray_step, window,
+                fast=False):
     t = rays.shape[0]
     wz, wy = window
     xpad = vol.shape[2]
@@ -417,7 +385,7 @@ def _pallas_bwd(scal, rays, vol, tfp, g, *, dims, ray_step, window):
     kernel = functools.partial(
         _bwd_kernel, dims=dims, ray_step=ray_step,
         n_steps=layout.max_bands(ray_step), wz=wz, wy=wy, wxb=wxb,
-        az=az, ay=ay, axb=axb,
+        az=az, ay=ay, axb=axb, fast=fast,
     )
     dvol_init = jnp.zeros(vol.shape, jnp.float32)
     dvol, dtf = pl.pallas_call(
@@ -442,30 +410,35 @@ def _pallas_bwd(scal, rays, vol, tfp, g, *, dims, ray_step, window):
         ],
         input_output_aliases={5: 0},
         interpret=interpret_mode(),
-    )(scal, rays, vol, tfp, g, dvol_init)
+    )(scal, rays, vol, tfp, gG, dvol_init)
     return dvol, dtf
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def render_tiles_diff_blocked(scal, rays, vol, tfp, dims, ray_step, window):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def render_tiles_diff_blocked(scal, rays, vol, tfp, dims, ray_step, window,
+                              fast=False):
     """Differentiable blocked tile render (any volume size)."""
     return _pallas_fwd(
-        scal, rays, vol, tfp, dims=dims, ray_step=ray_step, window=window
+        scal, rays, vol, tfp, dims=dims, ray_step=ray_step, window=window,
+        fast=fast,
     )
 
 
-def _fwd_rule(scal, rays, vol, tfp, dims, ray_step, window):
+def _fwd_rule(scal, rays, vol, tfp, dims, ray_step, window, fast=False):
     out = _pallas_fwd(
-        scal, rays, vol, tfp, dims=dims, ray_step=ray_step, window=window
+        scal, rays, vol, tfp, dims=dims, ray_step=ray_step, window=window,
+        fast=fast,
     )
-    return out, (scal, rays, vol, tfp)
+    return out, (scal, rays, vol, tfp, out)
 
 
-def _bwd_rule(dims, ray_step, window, res, g):
-    scal, rays, vol, tfp = res
+def _bwd_rule(dims, ray_step, window, fast, res, g):
+    from volrt.renderers.pallas.diff_tri import _pack_gG
+
+    scal, rays, vol, tfp, out = res
     dvol, dtf = _pallas_bwd(
-        scal, rays, vol, tfp, g,
-        dims=dims, ray_step=ray_step, window=window,
+        scal, rays, vol, tfp, _pack_gG(g, out),
+        dims=dims, ray_step=ray_step, window=window, fast=fast,
     )
     return jnp.zeros_like(scal), jnp.zeros_like(rays), dvol, dtf
 
