@@ -43,6 +43,12 @@ R = layout.RAYS_PER_TILE
 MARGIN = 2
 WX = X_LANES  # x window width = one lane gather's reach
 
+# Resident-brick headroom: the VMEM brick covers the window plus drift room
+# and is re-DMAed only when the window leaves it (amortizes HBM traffic
+# ~BRICK_Z_PAD-fold for near-axis views).
+BRICK_Z_PAD = 16
+BRICK_Y_PAD = 8
+
 
 def _kernel(
     scal_ref,    # SMEM (1, 8)
@@ -143,8 +149,12 @@ def _kernel(
         val = (g0 * (1.0 - fx) + g1 * fx) / 255.0
         return val, jnp.sum(ovf.astype(jnp.float32))
 
+    bz = brick_ref.shape[0]
+    by = brick_ref.shape[1]
+
     def body(carry):
-        i, k, accr, accg, accb, acca, fin, novf = carry
+        (i, k, accr, accg, accb, acca, fin, novf,
+         bzo, byo, bxo, bhave) = carry
         # Band marching (see trilinear.py): exact per-ray lattices, but all
         # of a band's samples lie within one step of each other.
         # Iterative k accumulation (k starts at the ray's own k0 and gains
@@ -177,16 +187,34 @@ def _kernel(
             0, vol_ref.shape[2] - wxb,
         ), 128)
 
-        dma = pltpu.make_async_copy(
-            vol_ref.at[pl.ds(z0, wz), pl.ds(y0, wy), pl.ds(x0, wxb)],
-            brick_ref,
-            sem,
+        fits = (
+            (bhave > 0)
+            & (z0 >= bzo) & (z0 + wz <= bzo + bz)
+            & (y0 >= byo) & (y0 + wy <= byo + by)
+            & (x0 == bxo)
         )
-        dma.start()
-        dma.wait()
+        nzo = jnp.clip(z0 - BRICK_Z_PAD // 2, 0, vol_ref.shape[0] - bz)
+        nyo = jnp.clip((y0 - BRICK_Y_PAD // 2) & ~7,
+                       0, vol_ref.shape[1] - by)
+        bzo = jnp.where(fits, bzo, nzo)
+        byo = pl.multiple_of(jnp.where(fits, byo, nyo), 8)
+        bxo = pl.multiple_of(jnp.where(fits, bxo, x0), 128)
+
+        @pl.when(jnp.logical_not(fits))
+        def _():
+            dma = pltpu.make_async_copy(
+                vol_ref.at[pl.ds(bzo, bz), pl.ds(byo, by),
+                           pl.ds(bxo, wxb)],
+                brick_ref,
+                sem,
+            )
+            dma.start()
+            dma.wait()
+
         # Mosaic has no direct u8 -> f32 cast; widen via int32.
         brick = (
-            brick_ref[:].astype(jnp.int32).astype(jnp.float32)
+            brick_ref[pl.ds(z0 - bzo, wz), pl.ds(y0 - byo, wy), :]
+            .astype(jnp.int32).astype(jnp.float32)
         ).reshape(wz * wy, wxb)
 
         sval, ovf1 = window_sample(alive, brick, z0, y0, x0, px, py, pz)
@@ -234,20 +262,22 @@ def _kernel(
         ).astype(jnp.float32)
         fin = jnp.maximum(fin, done_now)
         return (
-            i + 1, k_next, accr, accg, accb, acca, fin, novf + ovf1 + ovf2
+            i + 1, k_next, accr, accg, accb, acca, fin,
+            novf + ovf1 + ovf2, bzo, byo, bxo, jnp.int32(1)
         )
 
     def cond(carry):
-        i, _, _, _, _, _, fin, _ = carry
+        i, fin = carry[0], carry[6]
         return (i < n_steps) & jnp.any(alive0 * (1.0 - fin) > 0.0)
 
     zeros = jnp.zeros((R, 1), jnp.float32)
+    zi = jnp.int32(0)
     init = (
-        0, k0, zeros, zeros, zeros, zeros, 1.0 - alive0, jnp.float32(0.0)
+        0, k0, zeros, zeros, zeros, zeros, 1.0 - alive0,
+        jnp.float32(0.0), zi, zi, zi, zi,
     )
-    _, _, accr, accg, accb, acca, _, novf = jax.lax.while_loop(
-        cond, body, init
-    )
+    res = jax.lax.while_loop(cond, body, init)
+    accr, accg, accb, acca, novf = res[2], res[3], res[4], res[5], res[7]
     out_ref[0] = jnp.concatenate([accr, accg, accb, acca], axis=1)
     ovf_ref[0] = jnp.full((8, 128), novf, jnp.float32)
 
@@ -308,7 +338,9 @@ def render_tiles(
             jax.ShapeDtypeStruct((t, 8, 128), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((wz, wy, wxb), jnp.uint8),
+            pltpu.VMEM((min(vol3d.shape[0], wz + BRICK_Z_PAD),
+                        min(vol3d.shape[1], wy + BRICK_Y_PAD), wxb),
+                       jnp.uint8),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret_mode(),

@@ -46,6 +46,12 @@ WX = X_LANES
 ACC_Z_PAD = 32
 ACC_Y_PAD = 16
 
+# Resident-brick headroom: the brick is refetched only when the window
+# drifts out of it (~every BRICK_Z_PAD bands for near-axis views), so the
+# per-band DMA cost is amortized ~BRICK_Z_PAD-fold.
+BRICK_Z_PAD = 16
+BRICK_Y_PAD = 8
+
 
 def _lane_gather(xrows, lx, wxb):
     """Per-ray x gather over up to ``wxb`` lanes (chunked by 128)."""
@@ -91,11 +97,19 @@ def _fwd_kernel(
     j0 = rays[:, 9:10]
     thr = scal_ref[0, 0]
 
+    bz = brick_ref.shape[0]
+    by = brick_ref.shape[1]
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, wz * wy), 1)
     tf_iota = jax.lax.broadcasted_iota(jnp.int32, (R, TF_SIZE), 1)
 
+    def brick_origin_for(z0, y0):
+        bzo = jnp.clip(z0 - BRICK_Z_PAD // 2, 0, vol_ref.shape[0] - bz)
+        byo = jnp.clip((y0 - BRICK_Y_PAD // 2) & ~7,
+                       0, vol_ref.shape[1] - by)
+        return bzo, pl.multiple_of(byo, 8)
+
     def body(carry):
-        i, k, accr, accg, accb, acca, fin = carry
+        i, k, accr, accg, accb, acca, fin, bzo, byo, bxo, have = carry
         n = i.astype(jnp.float32) - j0
         started = (n >= 0.0).astype(jnp.float32)
         alive = alive0 * started * (1.0 - fin)
@@ -105,13 +119,31 @@ def _fwd_kernel(
         z0, y0, x0 = _window_origin(
             alive, ix0, iy0, iz0, vol_ref.shape, wz, wy, wxb
         )
-        dma = pltpu.make_async_copy(
-            vol_ref.at[pl.ds(z0, wz), pl.ds(y0, wy), pl.ds(x0, wxb)],
-            brick_ref, sem,
+        # Refetch the resident brick only when the window drifts out of it.
+        fits = (
+            (have > 0)
+            & (z0 >= bzo) & (z0 + wz <= bzo + bz)
+            & (y0 >= byo) & (y0 + wy <= byo + by)
+            & (x0 == bxo)
         )
-        dma.start()
-        dma.wait()
-        brick = brick_ref[:].astype(jnp.float32).reshape(wz * wy, wxb)
+        nzo, nyo = brick_origin_for(z0, y0)
+        bzo = jnp.where(fits, bzo, nzo)
+        byo = pl.multiple_of(jnp.where(fits, byo, nyo), 8)
+        bxo = pl.multiple_of(jnp.where(fits, bxo, x0), 128)
+
+        @pl.when(jnp.logical_not(fits))
+        def _():
+            dma = pltpu.make_async_copy(
+                vol_ref.at[pl.ds(bzo, bz), pl.ds(byo, by),
+                           pl.ds(bxo, wxb)],
+                brick_ref, sem,
+            )
+            dma.start()
+            dma.wait()
+
+        brick = brick_ref[
+            pl.ds(z0 - bzo, wz), pl.ds(y0 - byo, wy), :
+        ].astype(jnp.float32).reshape(wz * wy, wxb)
 
         wmat, ix0c, ix1c, fx = _tap_weights(
             alive, px, py, pz, z0, y0, dims, wz, wy, row_iota
@@ -136,7 +168,8 @@ def _fwd_kernel(
         done = started * alive0 * (
             (acca > thr) | (k_next > kfar)).astype(jnp.float32)
         fin = jnp.maximum(fin, done)
-        return i + 1, k_next, accr, accg, accb, acca, fin
+        return (i + 1, k_next, accr, accg, accb, acca, fin,
+                bzo, byo, bxo, jnp.int32(1))
 
     def cond(carry):
         return (carry[0] < n_steps) & jnp.any(
@@ -144,8 +177,10 @@ def _fwd_kernel(
         )
 
     z = jnp.zeros((R, 1), jnp.float32)
-    init = (0, k0, z, z, z, z, 1.0 - alive0)
-    _, _, accr, accg, accb, acca, _ = jax.lax.while_loop(cond, body, init)
+    zi = jnp.int32(0)
+    init = (0, k0, z, z, z, z, 1.0 - alive0, zi, zi, zi, zi)
+    res = jax.lax.while_loop(cond, body, init)
+    _, _, accr, accg, accb, acca = res[:6]
     out_ref[0] = jnp.concatenate([accr, accg, accb, acca], axis=1)
 
 
@@ -176,14 +211,43 @@ def _bwd_kernel(
     def _():
         dtf_ref[...] = jnp.zeros_like(dtf_ref)
 
-    def fetch_brick(z0, y0, x0):
-        dma = pltpu.make_async_copy(
-            vol_ref.at[pl.ds(z0, wz), pl.ds(y0, wy), pl.ds(x0, wxb)],
-            brick_ref, sem,
+    bz = brick_ref.shape[0]
+    by = brick_ref.shape[1]
+
+    def brick_origin_for(z0, y0):
+        bzo = jnp.clip(z0 - BRICK_Z_PAD // 2, 0, vol_ref.shape[0] - bz)
+        byo = jnp.clip((y0 - BRICK_Y_PAD // 2) & ~7,
+                       0, vol_ref.shape[1] - by)
+        return bzo, pl.multiple_of(byo, 8)
+
+    def resident_brick(z0, y0, x0, borg):
+        """Window view of the resident brick, refetching on drift."""
+        bzo, byo, bxo, bhave = borg
+        fits = (
+            (bhave > 0)
+            & (z0 >= bzo) & (z0 + wz <= bzo + bz)
+            & (y0 >= byo) & (y0 + wy <= byo + by)
+            & (x0 == bxo)
         )
-        dma.start()
-        dma.wait()
-        return brick_ref[:].astype(jnp.float32).reshape(wz * wy, wxb)
+        nzo, nyo = brick_origin_for(z0, y0)
+        bzo = jnp.where(fits, bzo, nzo)
+        byo = pl.multiple_of(jnp.where(fits, byo, nyo), 8)
+        bxo = pl.multiple_of(jnp.where(fits, bxo, x0), 128)
+
+        @pl.when(jnp.logical_not(fits))
+        def _():
+            dma = pltpu.make_async_copy(
+                vol_ref.at[pl.ds(bzo, bz), pl.ds(byo, by),
+                           pl.ds(bxo, wxb)],
+                brick_ref, sem,
+            )
+            dma.start()
+            dma.wait()
+
+        brick = brick_ref[
+            pl.ds(z0 - bzo, wz), pl.ds(y0 - byo, wy), :
+        ].astype(jnp.float32).reshape(wz * wy, wxb)
+        return brick, (bzo, byo, bxo, jnp.int32(1))
 
     def flush(a_org):
         """RMW the accumulator into the HBM dvol buffer."""
@@ -219,7 +283,8 @@ def _bwd_kernel(
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def body2(carry):
-        i, k, acca, fin, P, azo, ayo, axo, have = carry
+        (i, k, acca, fin, P, azo, ayo, axo, have,
+         bzo, byo, bxo, bhave) = carry
         n = i.astype(jnp.float32) - j0
         started = (n >= 0.0).astype(jnp.float32)
         alive = alive0 * started * (1.0 - fin)
@@ -246,7 +311,9 @@ def _bwd_kernel(
         axo = jnp.where(fits & (have > 0), axo, nxo)
         have = jnp.int32(1)
 
-        brick = fetch_brick(z0, y0, x0)
+        brick, (bzo, byo, bxo, bhave) = resident_brick(
+            z0, y0, x0, (bzo, byo, bxo, bhave)
+        )
         wmat, ix0c, ix1c, fx = _tap_weights(
             alive, px, py, pz, z0, y0, dims, wz, wy, row_iota
         )
@@ -303,7 +370,8 @@ def _bwd_kernel(
         done = started * alive0 * (
             (acca > thr) | (k_next > kfar)).astype(jnp.float32)
         fin = jnp.maximum(fin, done)
-        return i + 1, k_next, acca, fin, P_new, azo, ayo, axo, have
+        return (i + 1, k_next, acca, fin, P_new, azo, ayo, axo, have,
+                bzo, byo, bxo, bhave)
 
     def cond2(carry):
         return (carry[0] < n_steps) & jnp.any(
@@ -311,10 +379,12 @@ def _bwd_kernel(
         )
 
     zero_i = jnp.int32(0)
-    (_, _, _, _, _, azo, ayo, axo, have) = jax.lax.while_loop(
+    res2 = jax.lax.while_loop(
         cond2, body2,
-        (0, k0, z_, 1.0 - alive0, z_, zero_i, zero_i, zero_i, zero_i),
+        (0, k0, z_, 1.0 - alive0, z_, zero_i, zero_i, zero_i, zero_i,
+         zero_i, zero_i, zero_i, zero_i),
     )
+    azo, ayo, axo, have = res2[5], res2[6], res2[7], res2[8]
 
     @pl.when(have > 0)
     def _():
@@ -366,7 +436,9 @@ def _pallas_fwd(scal, rays, vol, tfp, *, dims, ray_step, window,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, R, 4), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((wz, wy, wxb), jnp.float32),
+            pltpu.VMEM((min(vol.shape[0], wz + BRICK_Z_PAD),
+                        min(vol.shape[1], wy + BRICK_Y_PAD), wxb),
+                       jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret_mode(),
@@ -402,7 +474,9 @@ def _pallas_bwd(scal, rays, vol, tfp, gG, *, dims, ray_step, window,
             jax.ShapeDtypeStruct(tfp.shape, jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((wz, wy, wxb), jnp.float32),
+            pltpu.VMEM((min(vol.shape[0], wz + BRICK_Z_PAD),
+                        min(vol.shape[1], wy + BRICK_Y_PAD), wxb),
+                       jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM((az, ay, axb), jnp.float32),
             pltpu.VMEM((az, ay, axb), jnp.float32),
