@@ -11,7 +11,6 @@ rays*steps/s plus the differentiable fwd+bwd benchmark (no reference analog).
 from __future__ import annotations
 
 import dataclasses
-import math
 import time
 
 import jax

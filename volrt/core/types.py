@@ -26,13 +26,11 @@ import numpy as np
 
 from volrt.constants import (
     DEFAULT_LIGHT_KD,
-    DEFAULT_RAY_STEP,
     DEFAULT_RAY_THRESHOLD,
     DEFAULT_WIN_HEIGHT,
     DEFAULT_WIN_WIDTH,
     ESL_MIN_BLOCK_SIZE,
     ESL_VOLUME_DIMS,
-    TF_SIZE,
 )
 
 

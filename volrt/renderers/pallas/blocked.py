@@ -213,7 +213,8 @@ def _kernel(
 
         # Mosaic has no direct u8 -> f32 cast; widen via int32.
         brick = (
-            brick_ref[pl.ds(z0 - bzo, wz), pl.ds(y0 - byo, wy), :]
+            brick_ref[pl.ds(z0 - bzo, wz),
+                      pl.ds(pl.multiple_of(y0 - byo, 8), wy), :]
             .astype(jnp.int32).astype(jnp.float32)
         ).reshape(wz * wy, wxb)
 

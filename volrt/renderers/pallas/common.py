@@ -7,7 +7,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from volrt.constants import TF_SIZE
 from volrt.core.types import Raycaster, Volume
 
 X_LANES = 128  # lane width: max x extent addressable by one lane gather

@@ -142,7 +142,8 @@ def _fwd_kernel(
             dma.wait()
 
         brick = brick_ref[
-            pl.ds(z0 - bzo, wz), pl.ds(y0 - byo, wy), :
+            pl.ds(z0 - bzo, wz),
+            pl.ds(pl.multiple_of(y0 - byo, 8), wy), :
         ].astype(jnp.float32).reshape(wz * wy, wxb)
 
         wmat, ix0c, ix1c, fx = _tap_weights(
@@ -245,7 +246,8 @@ def _bwd_kernel(
             dma.wait()
 
         brick = brick_ref[
-            pl.ds(z0 - bzo, wz), pl.ds(y0 - byo, wy), :
+            pl.ds(z0 - bzo, wz),
+            pl.ds(pl.multiple_of(y0 - byo, 8), wy), :
         ].astype(jnp.float32).reshape(wz * wy, wxb)
         return brick, (bzo, byo, bxo, jnp.int32(1))
 

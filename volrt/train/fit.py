@@ -9,8 +9,6 @@ multi-host training configuration of BASELINE.md.
 """
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Callable
 
 import jax
