@@ -163,7 +163,7 @@ def run_suite(
                 t0 = time.perf_counter()
                 try:
                     result = fn()
-                    jax.block_until_ready(result)
+                    jax.device_get(jnp.sum(result))
                 except Exception as e:  # OOM / unsupported size
                     log(f"bench {cfg.name}/{name}: skipped ({e})")
                     timed_out = True
@@ -223,12 +223,18 @@ def bench_diff_step(
     else:
         loss_fn = l2_loss
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    def sync(x):
+        # device_get of a dependent scalar: block_until_ready alone can
+        # return before remote execution finishes on tunneled backends.
+        return float(jax.device_get(jnp.sum(x)))
+
     loss, grads = grad_fn(scene, view, target)
-    jax.block_until_ready(grads.density)
+    sync(grads.density)
     t0 = time.perf_counter()
     for _ in range(iters):
         loss, grads = grad_fn(scene, view, target)
-    jax.block_until_ready(grads.density)
+    sync(grads.density)
     dt = (time.perf_counter() - t0) / iters
 
     n_rays = viewport * viewport
@@ -274,11 +280,11 @@ def bench_sharded_render(
             static_argnames=(),
         )
         img = fn(rc)
-        jax.block_until_ready(img)
+        float(jax.device_get(jnp.sum(img)))
         t0 = time.perf_counter()
         for _ in range(iters):
             img = fn(rc)
-        jax.block_until_ready(img)
+        float(jax.device_get(jnp.sum(img)))
         dt = (time.perf_counter() - t0) / iters
         results[ndev] = dt
     eff = (

@@ -66,6 +66,7 @@ def _kernel(
     wz: int,
     wy: int,
     wxb: int,
+    fast: bool = False,
 ):
     w, h, d = dims
     rays = rays_ref[0]
@@ -127,7 +128,8 @@ def _kernel(
             wmat, brick,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=(jax.lax.Precision.DEFAULT if fast
+                       else jax.lax.Precision.HIGHEST),
         )
         def lane_gather(lx):
             # wxb may span multiple 128-lane chunks; gather per chunk and
@@ -233,7 +235,8 @@ def _kernel(
             wtf, tf_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=(jax.lax.Precision.DEFAULT if fast
+                       else jax.lax.Precision.HIGHEST),
         )
         cr, cg, cb, ca = (
             color[:, 0:1], color[:, 1:2], color[:, 2:3], color[:, 3:4]
@@ -302,6 +305,7 @@ def render_tiles(
     dims: tuple[int, int, int],
     ray_step: float,
     window: tuple[int, int],
+    fast: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Raw tile-level entry: render packed ray tiles ``(T, R, C)`` to
     ``((T, R, 4) colors, (T, 8, 128) overflow)``. shard_map-able over T."""
@@ -317,6 +321,7 @@ def render_tiles(
         wz=wz,
         wy=wy,
         wxb=wxb,
+        fast=fast,
     )
     return pl.pallas_call(
         kernel,
@@ -348,10 +353,11 @@ def render_tiles(
     )(scal, rays, vol3d, tfp)
 
 
-@functools.partial(jax.jit, static_argnames=("shade", "window"))
+@functools.partial(jax.jit, static_argnames=("shade", "window", "fast"))
 def render_float(
     rc: Raycaster, shade: bool = True,
     window: tuple[int, int] | None = None,
+    fast: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Render to ``(f32[H, W, 4] image, f32[] overflow_count)``."""
     del shade
@@ -367,6 +373,7 @@ def render_float(
     out, ovf = render_tiles(
         scal, rays, vol3d, tfp,
         dims=rc.volume.dims, ray_step=rc.ray_step, window=window,
+        fast=fast,
     )
     return layout.untile_rays(out, w, h), jnp.sum(ovf[:, 0, 0])
 
