@@ -208,20 +208,35 @@ def bench_diff_step(
     scene = scene_from_volume(
         jnp.asarray(vol), default_transfer_fn(), ray_step
     )
+    # Honest accounting: zoom so the viewport covers exactly the volume cube
+    # (every ray marches) and disable ERT (every ray takes the full
+    # ~2/ray_step steps) — the reported rays*steps/s then counts real work.
     cam = Camera(dims=(viewport, viewport))
+    cam.zoom(-1.0)  # distance 2.0 -> ortho view spans [-1, 1]
     view = cam.view()
     target = jnp.zeros((viewport, viewport, 4), jnp.float32)
 
     if fused:
         import functools
 
-        from volrt.diff.fused import l2_loss_fused
+        from volrt.diff.fused import render_image_fused
 
         # fast=True: native-bf16 MXU gathers (~CUDA 9-bit texture-lerp
-        # quality) — the production training configuration.
-        loss_fn = functools.partial(l2_loss_fused, fast=True)
+        # quality) — the production training configuration. ERT disabled
+        # (threshold 2.0) so the step count below reflects actual work.
+        def loss_fn(scene, view, target):
+            img = render_image_fused(
+                scene, view, ray_threshold=2.0, fast=True
+            )
+            return jnp.mean((img - target) ** 2)
     else:
-        loss_fn = l2_loss
+        import functools
+
+        def loss_fn(scene, view, target):
+            from volrt.diff.render import render_diff_image
+
+            img = render_diff_image(scene, view, ray_threshold=2.0)
+            return jnp.mean((img - target) ** 2)
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
 
     def sync(x):
