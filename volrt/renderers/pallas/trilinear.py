@@ -65,6 +65,7 @@ def _kernel(
     wz: int,
     wy: int,
     fast: bool = False,
+    shade: bool = True,
 ):
     w, h, d = dims
     xpad = vol_ref.shape[2]
@@ -196,19 +197,24 @@ def _kernel(
             color[:, 0:1], color[:, 1:2], color[:, 2:3], color[:, 3:4]
         )
 
-        # Trilinear shading tap toward the light
-        # (reference: GPURenderer4.cu:41-51).
-        wxv, wyv, wzv = lx - px, ly - py, lz - pz
-        inv = jax.lax.rsqrt(wxv * wxv + wyv * wyv + wzv * wzv)
-        sl, ovf2 = window_sample(
-            alive, brick, z0, y0,
-            px + wxv * inv * SHADE_LIGHT_OFFSET,
-            py + wyv * inv * SHADE_LIGHT_OFFSET,
-            pz + wzv * inv * SHADE_LIGHT_OFFSET,
-        )
-        gate = (ca > SHADE_ALPHA_GATE) & (kd > SHADE_KD_GATE)
-        diffuse = jnp.where(gate, (sl - sval) * kd, 0.0)
-        cr, cg, cb = cr + diffuse, cg + diffuse, cb + diffuse
+        if shade:
+            # Trilinear shading tap toward the light
+            # (reference: GPURenderer4.cu:41-51).
+            wxv, wyv, wzv = lx - px, ly - py, lz - pz
+            inv = jax.lax.rsqrt(wxv * wxv + wyv * wyv + wzv * wzv)
+            sl, ovf2 = window_sample(
+                alive, brick, z0, y0,
+                px + wxv * inv * SHADE_LIGHT_OFFSET,
+                py + wyv * inv * SHADE_LIGHT_OFFSET,
+                pz + wzv * inv * SHADE_LIGHT_OFFSET,
+            )
+            gate = (ca > SHADE_ALPHA_GATE) & (kd > SHADE_KD_GATE)
+            diffuse = jnp.where(gate, (sl - sval) * kd, 0.0)
+            cr, cg, cb = cr + diffuse, cg + diffuse, cb + diffuse
+        else:
+            # Static skip: the caller asserts light_kd == 0 (the in-kernel
+            # gate would zero the tap anyway).
+            ovf2 = jnp.float32(0.0)
 
         f = alive * (1.0 - acca)
         accr = accr + cr * f
@@ -276,6 +282,7 @@ def render_tiles(
     ray_step: float,
     window: tuple[int, int],
     fast: bool = False,
+    shade: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Raw tile-level entry: render packed ray tiles ``(T, R, C)`` to
     ``((T, R, 4) colors, (T, 8, 128) overflow)``. shard_map-able over T."""
@@ -289,6 +296,7 @@ def render_tiles(
         wz=wz,
         wy=wy,
         fast=fast,
+        shade=shade,
     )
     return pl.pallas_call(
         kernel,
@@ -320,8 +328,10 @@ def render_float(
     window: tuple[int, int] | None = None,
     fast: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Render to ``(f32[H, W, 4] image, f32[] overflow_count)``."""
-    del shade
+    """Render to ``(f32[H, W, 4] image, f32[] overflow_count)``.
+
+    ``shade=False`` statically skips the diffuse light tap (use when
+    ``light_kd == 0`` — the gated tap contributes nothing)."""
     if rc.interpolation != "trilinear":
         raise ValueError("pallas-trilinear renders trilinear mode only")
     w, h = rc.view.dims
@@ -334,7 +344,7 @@ def render_float(
     out, ovf = render_tiles(
         scal, rays, vol3d, tfp,
         dims=rc.volume.dims, ray_step=rc.ray_step, window=window,
-        fast=fast,
+        fast=fast, shade=shade,
     )
     return layout.untile_rays(out, w, h), jnp.sum(ovf[:, 0, 0])
 
