@@ -173,3 +173,23 @@ class TestLayout:
         for t in range(tiles.shape[0]):
             if alive[t].any():
                 assert j0[t][alive[t]].min() == 0
+
+
+class TestModes:
+    def test_noshade_matches_when_kd_zero(self):
+        from volrt.renderers.pallas import trilinear
+
+        rc = make_rc(interp="trilinear", kd=0.0)
+        a, _ = trilinear.render_float(rc)
+        b, _ = trilinear.render_float(rc, shade=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    def test_fast_mode_close(self):
+        """bf16 gathers: ~8-bit mantissa weights (cf. CUDA's 9-bit texture
+        lerp); image tolerance accordingly loose."""
+        from volrt.renderers.pallas import trilinear
+
+        rc = make_rc(interp="trilinear", kd=0.0)
+        a, _ = trilinear.render_float(rc)
+        b, _ = trilinear.render_float(rc, fast=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-2)
