@@ -115,3 +115,34 @@ class TestCLI:
 
         img = read_png(out)
         assert (img[..., :3].sum(axis=-1) > 0).any()
+
+
+class TestCLIExtras:
+    def test_orbit_frames(self, tmp_path):
+        out = str(tmp_path / "orb.png")
+        r = run_cli(
+            "render", "--synthetic", "16", "-r", "1", "-s", "24", "24",
+            "--orbit", "3", "-o", out, "--log", str(tmp_path / "v.log"),
+        )
+        assert r.returncode == 0, r.stderr
+        for i in range(3):
+            assert os.path.exists(str(tmp_path / f"orb_{i:04d}.png"))
+
+    def test_tf_file_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from volrt.core.tf import default_transfer_fn, load_tf, save_tf
+
+        path = str(tmp_path / "tf.npy")
+        tf = default_transfer_fn()
+        save_tf(path, tf)
+        back = load_tf(path)
+        np.testing.assert_array_equal(np.asarray(tf), np.asarray(back))
+
+        out = str(tmp_path / "o.png")
+        r = run_cli(
+            "render", "--synthetic", "16", "-r", "1", "-s", "24", "24",
+            "--tf", path, "-o", out, "--log", str(tmp_path / "v.log"),
+        )
+        assert r.returncode == 0, r.stderr
