@@ -5,11 +5,14 @@ rung 3 (reference: GPURenderer4.cu:53-87), but the volume stays in HBM as
 ``uint8[D, H, Xpad]`` and each march step DMAs only the ray tile's current
 ``(WZ, WY, 128)`` window brick into a VMEM scratch buffer — the TPU analog of
 the reference's 3D-texture-cache working set, made explicit. This removes the
-VMEM residency limit of rung 3 (256^3+ volumes, W > 128) at the cost of one
-small DMA per (tile, step), and the x axis becomes windowed exactly like z/y.
+VMEM residency limit of rung 3 (256^3+ volumes, W > 128); the x axis becomes
+windowed exactly like z/y (aligned to 128-lane blocks, chunked lane gathers).
 
-uint8 bricks quarter the DMA traffic; conversion to f32 happens on-chip after
-the copy (the CUDA analog: textures store uchar and convert on fetch).
+The VMEM brick carries drift headroom (BRICK_*_PAD) and is re-DMAed only
+when the tile's window leaves it, so consecutive bands reuse the resident
+voxels instead of refetching ~15/16 of the same data. uint8 bricks quarter
+the DMA traffic; conversion to f32 happens on-chip after the copy (the CUDA
+analog: textures store uchar and convert on fetch).
 """
 from __future__ import annotations
 

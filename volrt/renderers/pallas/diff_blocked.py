@@ -6,7 +6,7 @@ This is the kernel behind the BASELINE.md headline configuration (256^3
 volume, 1024^2 rays, forward+backward): VMEM (~16 MB on this chip) cannot
 hold volume + gradient, so both stream:
 
-  * forward samples DMA a ``(wz, wy, wxb)`` brick per k-band (like the
+  * forward samples read a drift-refetched resident VMEM brick (like the
     rung-4 renderer, but float density instead of uint8),
   * backward voxel gradients accumulate into a VMEM buffer ``(AZ, AY, AXB)``
     that tracks the tile's moving window; when the window drifts out of the
