@@ -156,7 +156,18 @@ def run_suite(
                 continue
             _, name, _ = fns[0]
             timed_out = False
-            for f in range(max(frames, warmup + 1)):
+            # Warm both projection modes: `perspective` is a static field,
+            # so ortho and perspective poses compile separately.
+            try:
+                for wview in (poses[0], poses[1]):
+                    result = renderer_fns(
+                        rc0.replace(view=wview), [rid]
+                    )[0][2]()
+                    jax.device_get(jnp.sum(result))
+            except Exception as e:  # OOM / unsupported size
+                log(f"bench {cfg.name}/{name}: skipped ({e})")
+                continue
+            for f in range(frames):
                 view = poses[f % len(poses)]
                 rc = rc0.replace(view=view)
                 fn = renderer_fns(rc, [rid])[0][2]
@@ -164,16 +175,15 @@ def run_suite(
                 try:
                     result = fn()
                     jax.device_get(jnp.sum(result))
-                except Exception as e:  # OOM / unsupported size
+                except Exception as e:
                     log(f"bench {cfg.name}/{name}: skipped ({e})")
                     timed_out = True
                     break
                 ms = (time.perf_counter() - t0) * 1e3
-                if f >= warmup:  # first frame pays compilation
-                    prof.start(cfg.name, name)
-                    prof._t0 = time.perf_counter() - ms / 1e3
-                    prof.stop()
-                if ms > MAX_BENCH_SAMPLE_MS and f >= warmup:
+                prof.start(cfg.name, name)
+                prof._t0 = time.perf_counter() - ms / 1e3
+                prof.stop()
+                if ms > MAX_BENCH_SAMPLE_MS:
                     timed_out = True
                     break
             if timed_out:

@@ -40,6 +40,11 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--perspective", action="store_true")
     p.add_argument("--tf", default=None,
                    help=".npy transfer-function LUT (128x4 RGBA)")
+    p.add_argument("--raw-dims", type=int, nargs=3, default=None,
+                   metavar=("W", "H", "D"),
+                   help="dimensions for headerless .raw volumes")
+    p.add_argument("--raw-components", type=int, default=1,
+                   help=".raw voxel components (2 = 16-bit, quantized)")
 
 
 def _load_volume(args):
@@ -48,7 +53,12 @@ def _load_volume(args):
     if args.file:
         from volrt.io.pvm import load_volume
 
-        vol, meta = load_volume(args.file)
+        vol, meta = load_volume(
+            args.file,
+            raw_dims=tuple(args.raw_dims) if getattr(
+                args, "raw_dims", None) else None,
+            raw_components=getattr(args, "raw_components", 1),
+        )
         return Volume.from_numpy(vol), meta
     from volrt.bench.harness import synthetic_volume
 
