@@ -104,3 +104,42 @@ def test_entry_compiles():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@needs_devices
+class TestVolumeSharded:
+    def test_matches_unsharded(self):
+        from volrt.core.tf import default_transfer_fn
+        from volrt.diff.render import render_diff_image, scene_from_volume
+        from volrt.dist.volume_sharded import render_volume_sharded
+
+        scene = scene_from_volume(
+            jnp.asarray(synthetic_volume(16)), default_transfer_fn(), 0.15
+        )
+        cam = Camera(dims=(24, 24))
+        cam.set_camera_position((25.0, 10.0, 0.0))
+        view = cam.view()
+        mesh = make_mesh()
+        a = np.asarray(render_diff_image(scene, view, ray_threshold=2.0))
+        b = np.asarray(render_volume_sharded(scene, view, mesh))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_differentiable(self):
+        from volrt.core.tf import default_transfer_fn
+        from volrt.diff.render import scene_from_volume
+        from volrt.dist.volume_sharded import render_volume_sharded
+
+        scene = scene_from_volume(
+            jnp.asarray(synthetic_volume(16)), default_transfer_fn(), 0.2
+        )
+        cam = Camera(dims=(16, 16))
+        cam.set_camera_position((25.0, 10.0, 0.0))
+        view = cam.view()
+        mesh = make_mesh()
+
+        def loss(s):
+            return jnp.mean(render_volume_sharded(s, view, mesh) ** 2)
+
+        g = jax.grad(loss)(scene)
+        assert np.isfinite(np.asarray(g.density)).all()
+        assert float(jnp.linalg.norm(g.density)) > 0
