@@ -23,6 +23,66 @@ def test_dds_decode_matches_python():
     assert native.dds_decode(body, 0) == pvm.dds_decode(body, 0)
 
 
+def _encode_dds_body(values, skip=1, strip=1, bits=8):
+    """Minimal DDS body encoder (test-only): one group, fixed residual
+    width, first/second-order strip predictor — the inverse of dds_decode."""
+    deltas = []
+    prev = 0
+    half = (1 << bits) // 2 if bits else 0
+    for i, v in enumerate(values):
+        if strip == 1 or i <= strip:
+            pred = prev
+        else:
+            pred = (prev + values[i - strip] - values[i - strip - 1]) % 256
+        deltas.append((v - pred + half) % 256)
+        prev = v
+    out = []
+    acc, nacc = 0, 0
+
+    def put(val, nbits):
+        nonlocal acc, nacc
+        acc = (acc << nbits) | (val & ((1 << nbits) - 1))
+        nacc += nbits
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 255)
+            nacc -= 8
+
+    put(skip - 1, 2)
+    put(strip - 1, 16)
+    assert len(values) < 128
+    put(len(values), 7)
+    put(bits - 1, 3)  # width code b -> b+1 bits (b >= 1)
+    for dlt in deltas:
+        put(dlt, bits)
+    put(0, 7)  # terminating zero-count group
+    if nacc:
+        put(0, 8 - nacc)
+    return bytes(out)
+
+
+def test_dds_decode_strip1_matches_python():
+    """strip==1 streams always use the first-order predictor
+    (reference ddsbase.cpp:215); regression test for the native predicate."""
+    import volrt.io.pvm as pvm
+
+    values = [10, 20, 5, 200, 7, 13, 250, 0, 99, 128]
+    body = _encode_dds_body(values, strip=1)
+    expect = pvm.dds_decode(body, 0)
+    assert list(expect) == values  # encoder sanity vs the Python decoder
+    assert native.dds_decode(body, 0) == expect
+
+
+def test_dds_decode_strip3_matches_python():
+    """Second-order strip predictor parity on a synthetic strip>1 stream."""
+    import volrt.io.pvm as pvm
+
+    values = [1, 5, 9, 2, 250, 31, 44, 7, 0, 255, 128, 64]
+    body = _encode_dds_body(values, strip=3)
+    expect = pvm.dds_decode(body, 0)
+    assert list(expect) == values
+    assert native.dds_decode(body, 0) == expect
+
+
 def test_esl_minmax_matches_numpy():
     rng = np.random.default_rng(1)
     vol = rng.integers(0, 256, (17, 23, 9), dtype=np.uint8)

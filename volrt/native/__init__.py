@@ -24,14 +24,37 @@ _tried = False
 
 
 def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
-            check=True, capture_output=True, timeout=120,
-        )
-        return True
-    except Exception:
-        return False
+    # Compile to a unique temp file and os.replace() it into place: atomic on
+    # POSIX, so concurrent processes (tests spawn CLI subprocesses) never
+    # dlopen a partially written .so. Falls back to a user cache directory
+    # when the package directory is read-only (e.g. system installs).
+    global _LIB
+    for target_dir in (os.path.dirname(_LIB), _cache_dir()):
+        target = os.path.join(target_dir, os.path.basename(_LIB))
+        tmp = f"{target}.tmp.{os.getpid()}"
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
+                check=True, capture_output=True, timeout=120,
+            )
+            os.replace(tmp, target)
+            _LIB = target
+            return True
+        except Exception:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+    return False
+
+
+def _cache_dir() -> str:
+    base = os.environ.get(
+        "XDG_CACHE_HOME", os.path.expanduser("~/.cache")
+    )
+    path = os.path.join(base, "volrt")
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 def load() -> ctypes.CDLL | None:
@@ -43,11 +66,19 @@ def load() -> ctypes.CDLL | None:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB) or (
-            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
-        ):
-            if not _build():
-                return None
+        global _LIB
+        candidates = [
+            _LIB, os.path.join(_cache_dir(), os.path.basename(_LIB))
+        ]
+        fresh = [
+            p for p in candidates
+            if os.path.exists(p)
+            and os.path.getmtime(p) >= os.path.getmtime(_SRC)
+        ]
+        if fresh:
+            _LIB = fresh[0]
+        elif not _build():
+            return None
         try:
             lib = ctypes.CDLL(_LIB)
         except OSError:

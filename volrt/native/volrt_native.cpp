@@ -126,7 +126,7 @@ int volrt_dds_decode(const uint8_t* in, int64_t n_in, int block,
       int32_t delta =
           static_cast<int32_t>(bits ? br.extract(p, bits) : 0) - half;
       p += bits;
-      if (idx <= strip) {
+      if (strip == 1 || idx <= strip) {
         act = static_cast<uint32_t>(
             static_cast<int32_t>(act) + delta);
       } else {
