@@ -155,3 +155,44 @@ class TestCheckpoint:
         s1, l1 = step_fn(state, tiny_view(), target)
         s2, l2 = step_fn(loaded, tiny_view(), target)
         assert float(l1) == float(l2)
+
+
+class TestPeriodicCheckpointResume:
+    def test_fit_checkpoints_and_resumes(self, tmp_path):
+        """fit() persists TrainState every N steps and --resume semantics
+        continue from the saved step with identical trajectory."""
+        import jax.numpy as jnp
+
+        from tests.conftest import synthetic_volume
+        from volrt.core.tf import default_transfer_fn
+        from volrt.core.view import Camera
+        from volrt.diff.render import DiffScene, render_diff_image
+        from volrt.diff.render import scene_from_volume
+        from volrt.train.fit import fit
+
+        n, wh, steps = 8, 16, 6
+        gt = scene_from_volume(
+            jnp.asarray(synthetic_volume(n)), default_transfer_fn(), 0.25)
+        cam = Camera(dims=(wh, wh))
+        targets = [(cam.view(), render_diff_image(gt, cam.view()))]
+        init = DiffScene(
+            density=jnp.full((n, n, n), 0.3, jnp.float32),
+            tf_base=default_transfer_fn(), ray_step=0.25)
+        path = str(tmp_path / "ck.npz")
+
+        # Uninterrupted run: the trajectory oracle.
+        scene_full, losses_full = fit(
+            init, targets, steps=steps, lr=0.05, train_tf=False)
+
+        # Interrupted run: 3 steps (periodic checkpoint), then resume.
+        fit(init, targets, steps=3, lr=0.05, train_tf=False,
+            checkpoint_path=path, checkpoint_every=1)
+        scene_res, losses_res = fit(
+            init, targets, steps=steps, lr=0.05, train_tf=False,
+            checkpoint_path=path, resume=True)
+        assert len(losses_res) == steps - 3
+        np.testing.assert_allclose(
+            losses_res, losses_full[3:], rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(scene_res.density), np.asarray(scene_full.density),
+            atol=1e-6)

@@ -121,8 +121,52 @@ class TestVolumeSharded:
         view = cam.view()
         mesh = make_mesh()
         a = np.asarray(render_diff_image(scene, view, ray_threshold=2.0))
-        b = np.asarray(render_volume_sharded(scene, view, mesh))
+        b = np.asarray(
+            render_volume_sharded(scene, view, mesh, ray_threshold=2.0))
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_cross_slab_ert_matches_unsharded(self):
+        """v2's upstream-opacity scan makes ERT exact across slab
+        boundaries: the sharded render matches the unsharded render at the
+        same (enabled) threshold."""
+        from volrt.core.tf import default_transfer_fn
+        from volrt.diff.render import render_diff_image, scene_from_volume
+        from volrt.dist.volume_sharded import render_volume_sharded
+
+        # Dense volume so ERT actually triggers mid-volume.
+        vol = np.full((16, 16, 16), 200, np.uint8)
+        scene = scene_from_volume(
+            jnp.asarray(vol), default_transfer_fn(), 0.15)
+        cam = Camera(dims=(24, 24))
+        cam.set_camera_position((25.0, 10.0, 0.0))
+        view = cam.view()
+        mesh = make_mesh()
+        a = np.asarray(render_diff_image(scene, view, ray_threshold=0.6))
+        b = np.asarray(
+            render_volume_sharded(scene, view, mesh, ray_threshold=0.6))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_device_placed_slabs(self):
+        """shard_slabs_to_devices builds the sharded slab array without
+        an in-graph full-volume stack and renders identically."""
+        from volrt.core.tf import default_transfer_fn
+        from volrt.diff.render import scene_from_volume
+        from volrt.dist.volume_sharded import (
+            render_volume_sharded, shard_slabs_to_devices)
+
+        vol = synthetic_volume(16)
+        scene = scene_from_volume(
+            jnp.asarray(vol), default_transfer_fn(), 0.2)
+        cam = Camera(dims=(16, 16))
+        cam.set_camera_position((25.0, 10.0, 0.0))
+        view = cam.view()
+        mesh = make_mesh()
+        slabs = shard_slabs_to_devices(
+            np.asarray(scene.density), mesh)
+        a = np.asarray(render_volume_sharded(scene, view, mesh))
+        b = np.asarray(
+            render_volume_sharded(scene, view, mesh, slabs=slabs))
+        np.testing.assert_allclose(a, b, atol=1e-6)
 
     def test_differentiable(self):
         from volrt.core.tf import default_transfer_fn

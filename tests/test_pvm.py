@@ -163,3 +163,107 @@ class TestQuantize:
         order = np.argsort(v16.reshape(-1), kind="stable")
         mapped = out.reshape(-1)[order].astype(np.int32)
         assert np.all(np.diff(mapped) >= 0)
+
+
+class TestQuantize16Golden:
+    """Byte-exact validation of the 16->8 bit quantizer against a scalar
+    oracle transcribing the reference algorithm's behavior
+    (reference: ddsbase.cpp:444-558): gradient-magnitude-weighted histogram,
+    cube-root compression, iterative outlier capping, monotone integration."""
+
+    @staticmethod
+    def _oracle(be_bytes: np.ndarray, linear: bool = False) -> np.ndarray:
+        import math
+
+        d, h, w, _ = be_bytes.shape
+        v = np.zeros((d, h, w), np.int64)
+        for k in range(d):
+            for j in range(h):
+                for i in range(w):
+                    v[k, j, i] = (
+                        256 * int(be_bytes[k, j, i, 0])
+                        + int(be_bytes[k, j, i, 1]))
+        vmin, vmax = int(v.min()), int(v.max())
+        err = [0.0] * 65536
+        if linear:
+            for i in range(65536):
+                err[i] = 255.0 * i / vmax
+        else:
+            def get(i, j, k):
+                return float(v[k, j, i])
+
+            def grad(i, j, k):
+                def ax(idx, lim, lo, hi, cur):
+                    if idx > 0:
+                        if idx < lim - 1:
+                            return (hi - lo) / 2.0
+                        return cur - lo
+                    if idx < lim - 1:
+                        return hi - cur
+                    return 0.0
+
+                c = get(i, j, k)
+                gx = ax(i, w, get(max(i - 1, 0), j, k),
+                        get(min(i + 1, w - 1), j, k), c)
+                gy = ax(j, h, get(i, max(j - 1, 0), k),
+                        get(i, min(j + 1, h - 1), k), c)
+                gz = ax(k, d, get(i, j, max(k - 1, 0)),
+                        get(i, j, min(k + 1, d - 1)), c)
+                return math.sqrt(gx * gx + gy * gy + gz * gz)
+
+            for k in range(d):
+                for j in range(h):
+                    for i in range(w):
+                        err[v[k, j, i]] += math.sqrt(grad(i, j, k))
+            for i in range(65536):
+                err[i] = err[i] ** (1.0 / 3.0)
+            err[vmin] = err[vmax] = 0.0
+            for _ in range(256):
+                eint = 0.0
+                for i in range(65536):
+                    eint += err[i]
+                done = True
+                for i in range(65536):
+                    if err[i] > eint / 256:
+                        err[i] = eint / 256
+                        done = False
+                if done:
+                    break
+            for i in range(1, 65536):
+                err[i] += err[i - 1]
+            if err[65535] > 0.0:
+                scale = np.float32(255.0) / err[65535]
+                for i in range(65536):
+                    err[i] *= scale
+        out = np.zeros((d, h, w), np.uint8)
+        for k in range(d):
+            for j in range(h):
+                for i in range(w):
+                    out[k, j, i] = int(err[v[k, j, i]] + 0.5)
+        return out
+
+    @staticmethod
+    def _synth16(d=5, h=6, w=7, seed=3):
+        rng = np.random.default_rng(seed)
+        z, y, x = np.mgrid[0:d, 0:h, 0:w].astype(np.float64)
+        ramp = (x * 900 + y * 700 + z * 500
+                + rng.integers(0, 4000, (d, h, w)))
+        v = np.clip(ramp, 0, 65535).astype(np.uint16)
+        be = np.stack([v >> 8, v & 255], axis=-1).astype(np.uint8)
+        return be
+
+    def test_nonlinear_byte_exact(self):
+        from volrt.io.pvm import quantize16
+
+        be = self._synth16()
+        got = quantize16(be)
+        want = self._oracle(be)
+        np.testing.assert_array_equal(got, want)
+
+    def test_linear_byte_exact(self):
+        from volrt.io.pvm import quantize16
+
+        be = self._synth16(seed=4)
+        got = quantize16(be, linear=True)
+        want = self._oracle(be, linear=True)
+        np.testing.assert_array_equal(got, want)

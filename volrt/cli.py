@@ -97,6 +97,31 @@ def _make_rc(args, camera=None):
     )
 
 
+def _render_frame(mod, rc, log, strict):
+    """Render one frame; surface the window-overflow counter for the
+    windowed kernels (rungs 3/4): a nonzero count means some trilinear taps
+    fell outside the static window and contributed zero (the documented
+    approximation) — warn, and fail under ``--strict-overflow``."""
+    from volrt.core import sampling
+
+    if hasattr(mod, "render_float") and mod.NAME.startswith("pallas"):
+        out = mod.render_float(rc)
+        if isinstance(out, tuple):
+            fimg, ovf = out
+            n = float(ovf)
+            if n > 0:
+                log.log(
+                    "WARNING: %d sample taps fell outside the static "
+                    "window (image locally dimmed); enlarge via a wider "
+                    "window or report this view", int(n))
+                if strict:
+                    return None, int(n)
+        else:
+            fimg = out
+        return np.asarray(sampling.write_color(fimg)), 0
+    return np.asarray(mod.render(rc)), 0
+
+
 def cmd_render(args) -> int:
     from volrt.renderers import get_renderer, renderer_name
     from volrt.utils.logger import Logger
@@ -107,7 +132,10 @@ def cmd_render(args) -> int:
     mod = get_renderer(args.renderer)
     log.log_time("rendering with %s ...", renderer_name(args.renderer))
     if args.orbit <= 1:
-        img = np.asarray(mod.render(rc))
+        img, ovf = _render_frame(mod, rc, log, args.strict_overflow)
+        if img is None:
+            log.log("aborting: %d overflowed taps (--strict-overflow)", ovf)
+            return 3
         write_png(args.output, img[::-1])  # y-up buffer -> top-down PNG
         log.log_time("wrote %s (%dx%d)", args.output,
                      img.shape[1], img.shape[0])
@@ -124,7 +152,10 @@ def cmd_render(args) -> int:
     cam.set_camera_position(tuple(args.angles), args.distance)
     for i in range(args.orbit):
         frame_rc = rc.replace(view=cam.view())
-        img = np.asarray(mod.render(frame_rc))
+        img, ovf = _render_frame(mod, frame_rc, log, args.strict_overflow)
+        if img is None:
+            log.log("aborting: %d overflowed taps (--strict-overflow)", ovf)
+            return 3
         path = f"{base}_{i:04d}.{ext}"
         write_png(path, img[::-1])
         log.log_time("frame %d/%d -> %s", i + 1, args.orbit, path)
@@ -161,8 +192,7 @@ def cmd_fit(args) -> int:
     from volrt.core.view import Camera
     from volrt.core.types import default_ray_step
     from volrt.diff.render import DiffScene, render_diff_image
-    from volrt.train.fit import fit, make_optimizer, init_state
-    from volrt.train import checkpoint as ckpt
+    from volrt.train.fit import fit
     from volrt.utils.logger import Logger
 
     log = Logger(args.log)
@@ -192,12 +222,14 @@ def cmd_fit(args) -> int:
     scene, losses = fit(
         scene, targets, steps=args.steps, lr=args.lr,
         train_tf=False, log_every=max(1, args.steps // 10), logger=log,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
     )
-    log.log_time("final loss %.6f", losses[-1])
-    if args.checkpoint:
-        opt = make_optimizer(args.lr)
-        ckpt.save(args.checkpoint, init_state(scene, opt))
-        log.log("saved checkpoint to %s", args.checkpoint)
+    if losses:
+        log.log_time("final loss %.6f", losses[-1])
+    else:
+        log.log("nothing to do: checkpoint already at %d steps", args.steps)
     return 0
 
 
@@ -245,6 +277,9 @@ def main(argv=None) -> int:
                    help="render N orbit frames (auto-rotate analog)")
     p.add_argument("-o", "--output", default="out.png")
     p.add_argument("--log", default="volrt.log")
+    p.add_argument("--strict-overflow", action="store_true",
+                   help="exit nonzero if any sample tap fell outside the "
+                   "kernel's static window")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("bench", help="run the benchmark suite")
@@ -259,7 +294,13 @@ def main(argv=None) -> int:
     _add_render_args(p)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=0.05)
-    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--checkpoint", default=None,
+                   help="TrainState checkpoint path (.npz)")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save the checkpoint every N steps (0 = only at "
+                   "the end)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint if it exists")
     p.add_argument("--log", default="volrt.log")
     p.set_defaults(fn=cmd_fit)
 

@@ -1,22 +1,39 @@
-"""Volume-sharded rendering: Z-slab partitioning with segment compositing.
+"""Volume-sharded rendering: Z-slab partitioning with transmittance-scan
+segment compositing.
 
 The volumetric cousin of context/ring parallelism (SURVEY §2 stretch
 component; no reference counterpart): when the volume itself exceeds one
 device's memory, each device holds one Z-slab (plus a one-voxel halo for
-trilinear taps) and marches every ray only through its own slab. Per-ray
-partial (color, alpha) segments then compose across devices in ray order —
-front-to-back compositing is associative over segments:
+trilinear taps) and marches every ray only through its own slab.
 
-    (C1, A1) ⊕ (C2, A2) = (C1 + C2*(1 - A1), A1 + A2*(1 - A1))
+v2 algorithm (replaces round 1's full-image all_gather fold):
+
+1. **Alpha prepass**: each device marches its slab accumulating opacity
+   only -> per-ray slab alpha ``A_i``.
+2. **Cross-device exclusive scan** of the (associative, non-commutative)
+   opacity composite ``a ⊕ b = a + b(1-a)`` in ray order via log2(n)
+   ``ppermute`` rounds of one (H, W) plane each -> upstream opacity
+   ``p_i`` entering slab i.
+3. **Main march** re-renders the slab with the compositing accumulator
+   *seeded* at ``p_i``: contributions are pre-scaled by the global
+   transmittance, and the reference ERT recurrence ``acca <= threshold``
+   continues *across* slabs exactly as in the unsharded march (round 1 had
+   no cross-slab ERT at all).
+4. **psum** of the pre-scaled segment deltas: because every contribution
+   already carries its global transmittance weight, segment composition
+   reduces to a commutative sum — one bandwidth-optimal all-reduce instead
+   of an n-fold image gather.
+
+Traffic: log2(n) * H*W + allreduce(H*W*4), vs round 1's n * H*W*4 gather.
 
 Samples stay on each ray's *global* lattice ``knear + i*step`` (each slab
 starts at the first lattice point inside it), so the composed image equals
-the unsharded render up to fp reassociation (~1e-6).
+the unsharded render (including ERT at the given ``ray_threshold``) up to
+fp reassociation of the opacity prefix — knife-edge ERT pixels may take
+one extra/fewer step. Compare with matching thresholds.
 
-Restriction: all rays must traverse slabs in the same z order (uniform sign
-of the ray direction's z component — true for orbit-camera views that are
-not exactly side-on; side-on views should shard along a different axis by
-pre-transposing the volume).
+March direction across slabs must be uniform (sign of the view direction's
+z component; pass ``front_to_back`` explicitly under jit).
 """
 from __future__ import annotations
 
@@ -34,7 +51,12 @@ from volrt.dist.mesh import RAY_AXIS
 
 def shard_slabs(density: jax.Array, n: int) -> jax.Array:
     """Split ``f32[D, H, W]`` into ``n`` Z-slabs with 1-voxel halos:
-    returns ``f32[n, D/n + 2, H, W]`` (edge slabs clamp-padded)."""
+    returns ``f32[n, D/n + 2, H, W]`` (edge slabs clamp-padded).
+
+    Note: this materializes the full grid in one process — fine for tests
+    and single-host use; for volumes beyond one device's memory build the
+    sharded array host-side with :func:`shard_slabs_to_devices` instead.
+    """
     d, h, w = density.shape
     if d % n:
         raise ValueError(f"volume depth {d} not divisible by {n} slabs")
@@ -44,6 +66,34 @@ def shard_slabs(density: jax.Array, n: int) -> jax.Array:
         [jax.lax.dynamic_slice_in_dim(padded, k * slab, slab + 2, 0)
          for k in range(n)]
     )
+
+
+def shard_slabs_to_devices(density, mesh: Mesh) -> jax.Array:
+    """Build the halo'd slab array with each slab placed directly on its
+    target device (no full-volume replica per process).
+
+    ``density`` is a host array (numpy); each device receives only its
+    ``(D/n + 2, H, W)`` slab buffer, so volumes larger than one device's
+    HBM stay feasible (the per-process host copy is the remaining limit).
+    """
+    import numpy as np
+
+    devices = list(mesh.devices.flat)
+    n = len(devices)
+    d, h, w = density.shape
+    if d % n:
+        raise ValueError(f"volume depth {d} not divisible by {n} slabs")
+    slab = d // n
+    density = np.asarray(density)
+    padded = np.pad(density, ((1, 1), (0, 0), (0, 0)), mode="edge")
+    sharding = NamedSharding(mesh, P(RAY_AXIS))
+    shards = [
+        jax.device_put(
+            padded[k * slab:k * slab + slab + 2][None], dev)
+        for k, dev in enumerate(devices)
+    ]
+    return jax.make_array_from_single_device_arrays(
+        (n, slab + 2, h, w), sharding, shards)
 
 
 def _sample_slab(slab: jax.Array, z_start: int, full_d: int,
@@ -86,8 +136,14 @@ def _sample_slab(slab: jax.Array, z_start: int, full_d: int,
     return c0 * (1 - fz) + c1 * fz
 
 
-def _segment_render(slab, z_start, full_d, tf_base, ray_step, view):
-    """Render one slab's (color, alpha) segment for every ray."""
+def _slab_march(slab, z_start, full_d, tf_base, ray_step, view,
+                ray_threshold, acc0_alpha=None, alpha_only=False):
+    """March one slab's global-lattice samples.
+
+    Returns the final RGBA accumulator (alpha channel continues from
+    ``acc0_alpha`` when given — the cross-slab ERT/compositing seed).
+    ``alpha_only=True`` skips the RGB accumulation (the prepass).
+    """
     from volrt.constants import TF_SIZE
 
     origins, directions = rays_mod.get_rays(view)
@@ -121,66 +177,130 @@ def _segment_render(slab, z_start, full_d, tf_base, ray_step, view):
         hi = jnp.clip(i0 + 1, 0, TF_SIZE - 1)
         return premult[lo] * (1 - frac) + premult[hi] * frac
 
+    # Per-slab bound: a slab spans sd voxels of the cube's 2/full_d pitch;
+    # the longest in-slab chord is that thickness over the smallest |dz|
+    # but never more than the cube chord.
     n_steps = int(math.ceil(2.0 * math.sqrt(3.0) / ray_step)) + 2
 
     def step(carry, i):
-        acc = carry
+        acc, alive = carry
         k = k0 + i * ray_step
         pt = origins + directions * k[..., None]
         val = _sample_slab(slab, z_start, full_d, pt)
-        color = tf_lookup(val)
-        mask = (hit & (k <= k_out))[..., None]
+        if alpha_only:
+            t = val * TF_SIZE - 0.5
+            i0 = jnp.floor(t)
+            frac = t - i0
+            i0 = i0.astype(jnp.int32)
+            lo = jnp.clip(i0, 0, TF_SIZE - 1)
+            hi = jnp.clip(i0 + 1, 0, TF_SIZE - 1)
+            ca = (premult[lo, 3] * (1 - frac)
+                  + premult[hi, 3] * frac)[..., None]
+            color = jnp.concatenate(
+                [jnp.zeros_like(ca), jnp.zeros_like(ca),
+                 jnp.zeros_like(ca), ca], axis=-1)
+        else:
+            color = tf_lookup(val)
+        mask = (alive & (k <= k_out))[..., None]
         acc = acc + jnp.where(mask, color * (1.0 - acc[..., 3:4]), 0.0)
-        return acc, None
+        alive = alive & (acc[..., 3] <= ray_threshold) & (k <= k_out)
+        return (acc, alive), None
 
     acc0 = jnp.zeros(origins.shape[:-1] + (4,), jnp.float32)
-    acc, _ = jax.lax.scan(
-        step, acc0, jnp.arange(n_steps, dtype=jnp.float32)
+    if acc0_alpha is not None:
+        acc0 = acc0.at[..., 3].set(acc0_alpha)
+    alive0 = hit & (acc0[..., 3] <= ray_threshold)
+    (acc, _), _ = jax.lax.scan(
+        (jax.checkpoint(step) if not alpha_only else step),
+        (acc0, alive0),
+        jnp.arange(n_steps, dtype=jnp.float32),
     )
     return acc
 
 
-def compose_segments(segments: jax.Array, front_to_back: bool) -> jax.Array:
-    """Fold per-slab segments ``(n, H, W, 4)`` in ray order."""
-    n = segments.shape[0]
-    order = range(n) if front_to_back else range(n - 1, -1, -1)
+def _opacity_exclusive_scan(alpha, n, reverse):
+    """Exclusive in-march-order scan of ``a ⊕ b = a + b(1-a)`` across the
+    mesh axis via log2(n) ppermute rounds (one (H, W) plane each)."""
+    idx = jax.lax.axis_index(RAY_AXIS)
+    order = (n - 1 - idx) if reverse else idx  # march position of device
 
-    acc = jnp.zeros_like(segments[0])
-    for i in order:
-        seg = segments[i]
-        acc = acc + seg * (1.0 - acc[..., 3:4])
-    return acc
+    def fwd_perm(r):
+        # send device at march position p to position p + r
+        if reverse:
+            return [(n - 1 - p, n - 1 - (p + r)) for p in range(n - r)]
+        return [(p, p + r) for p in range(n - r)]
+
+    incl = alpha
+    r = 1
+    while r < n:
+        recv = jax.lax.ppermute(incl, RAY_AXIS, perm=fwd_perm(r))
+        # devices at march position < r receive nothing (identity = 0)
+        recv = jnp.where(order >= r, recv, 0.0)
+        incl = recv + incl * (1.0 - recv)
+        r *= 2
+    # exclusive = previous device's inclusive
+    prev = jax.lax.ppermute(incl, RAY_AXIS, perm=fwd_perm(1))
+    return jnp.where(order >= 1, prev, 0.0)
 
 
-@partial(jax.jit, static_argnames=("mesh",))
 def render_volume_sharded(
-    scene: DiffScene, view, mesh: Mesh
+    scene: DiffScene, view, mesh: Mesh,
+    ray_threshold: float = 0.95,
+    front_to_back: bool | None = None,
+    slabs: jax.Array | None = None,
 ) -> jax.Array:
     """Render with the volume Z-slab-sharded across ``mesh`` ->
     ``f32[H, W, 4]``. Differentiable w.r.t. the scene (pure XLA).
 
-    Each device holds one halo'd slab (shard_map over the mesh axis),
-    renders its segment of every ray, all-gathers the per-slab segments
-    over the mesh (ICI), and folds them in ray order. No ERT across slabs
-    (a device cannot know upstream opacity without a serial dependency);
-    rays march their full slab segment.
+    ``ray_threshold`` is the ERT threshold, honored *across* slab
+    boundaries (pass 2.0 to disable). ``front_to_back`` is the slab march
+    order (device 0's slab first); when None it is derived from the view's
+    z direction, which requires a concrete (non-traced) view — under an
+    outer jit pass it explicitly (it selects the static ppermute
+    schedule). Pre-sharded ``slabs`` (see
+    :func:`shard_slabs_to_devices`) skip the in-graph slab stack.
     """
+    if front_to_back is None:
+        try:
+            front_to_back = bool(view.direction[2] >= 0)
+        except jax.errors.TracerBoolConversionError as e:
+            raise ValueError(
+                "front_to_back must be passed explicitly when the view is "
+                "traced (it selects the static ppermute schedule)") from e
+    return _render_volume_sharded(
+        scene, view, mesh, jnp.float32(ray_threshold),
+        bool(front_to_back), slabs)
+
+
+@partial(jax.jit, static_argnames=("mesh", "front_to_back"))
+def _render_volume_sharded(scene, view, mesh, ray_threshold,
+                           front_to_back, slabs):
     n = mesh.devices.size
     d = scene.density.shape[0]
     slab = d // n
-    slabs = shard_slabs(scene.density, n)
+    if slabs is None:
+        slabs = shard_slabs(scene.density, n)
     tf_base, ray_step = scene.tf_base, scene.ray_step
+    reverse = not front_to_back
 
     def per_device(slab_block, tfb):
-        idx = jax.lax.axis_index(RAY_AXIS)
-        z_start = idx * slab
-        seg = _segment_render(
-            slab_block[0], z_start, d, tfb, ray_step, view
-        )
-        segs = jax.lax.all_gather(seg, RAY_AXIS)  # (n, H, W, 4)
-        f2b = compose_segments(segs, True)
-        b2f = compose_segments(segs, False)
-        return jnp.where(view.direction[2] >= 0, f2b, b2f)
+        pos = jax.lax.axis_index(RAY_AXIS)
+        z_start = pos * slab
+        # Pass 1: slab opacity.
+        a_i = _slab_march(
+            slab_block[0], z_start, d, tfb, ray_step, view,
+            ray_threshold=2.0, alpha_only=True)[..., 3]
+        # Pass 2: upstream opacity entering this slab.
+        p_i = _opacity_exclusive_scan(a_i, n, reverse)
+        # Pass 3: full march seeded at the upstream opacity; the delta is
+        # this slab's globally-scaled contribution.
+        acc = _slab_march(
+            slab_block[0], z_start, d, tfb, ray_step, view,
+            ray_threshold=ray_threshold, acc0_alpha=p_i)
+        seg = acc - jnp.concatenate(
+            [jnp.zeros_like(acc[..., :3]), p_i[..., None]], axis=-1)
+        # Pass 4: commutative reduction of pre-scaled segments.
+        return jax.lax.psum(seg, RAY_AXIS)
 
     fn = jax.shard_map(
         per_device,

@@ -370,7 +370,8 @@ def quantize16(data: np.ndarray, linear: bool = False) -> np.ndarray:
 
     if linear:
         err = 255.0 * np.arange(65536, dtype=np.float64) / max(vmax, 1)
-        return np.rint(err[v]).astype(np.uint8)  # matches (int)(x + 0.5) for x>=0
+        # (int)(x + 0.5) truncation semantics (not round-half-even)
+        return np.floor(err[v] + 0.5).astype(np.uint8)
 
     grad = _gradient_magnitude(v.astype(np.float64))
     err = np.zeros(65536, np.float64)

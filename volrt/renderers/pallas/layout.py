@@ -37,31 +37,35 @@ RAYS_PER_TILE = TILE_H * TILE_W  # 256 sublane rows: 2 MXU row-tiles
 N_CHANNELS = 16  # padded for lane alignment
 
 
-def pad_dims(w: int, h: int) -> tuple[int, int]:
-    wp = -(-w // TILE_W) * TILE_W
-    hp = -(-h // TILE_H) * TILE_H
+def pad_dims(w: int, h: int, tile_w: int = TILE_W,
+             tile_h: int = TILE_H) -> tuple[int, int]:
+    wp = -(-w // tile_w) * tile_w
+    hp = -(-h // tile_h) * tile_h
     return wp, hp
 
 
-def num_tiles(w: int, h: int) -> int:
-    wp, hp = pad_dims(w, h)
-    return (wp // TILE_W) * (hp // TILE_H)
+def num_tiles(w: int, h: int, tile_w: int = TILE_W,
+              tile_h: int = TILE_H) -> int:
+    wp, hp = pad_dims(w, h, tile_w, tile_h)
+    return (wp // tile_w) * (hp // tile_h)
 
 
-def tile_rays(img: jax.Array, w: int, h: int) -> jax.Array:
+def tile_rays(img: jax.Array, w: int, h: int, tile_w: int = TILE_W,
+              tile_h: int = TILE_H) -> jax.Array:
     """Rearrange per-pixel data ``(H, W, C)`` (padded) into ``(T, R, C)``."""
     hp, wp = img.shape[0], img.shape[1]
     c = img.shape[2]
-    t = img.reshape(hp // TILE_H, TILE_H, wp // TILE_W, TILE_W, c)
-    t = t.transpose(0, 2, 1, 3, 4)  # (th, tw, TILE_H, TILE_W, c)
-    return t.reshape(-1, RAYS_PER_TILE, c)
+    t = img.reshape(hp // tile_h, tile_h, wp // tile_w, tile_w, c)
+    t = t.transpose(0, 2, 1, 3, 4)  # (th, tw, tile_h, tile_w, c)
+    return t.reshape(-1, tile_h * tile_w, c)
 
 
-def untile_rays(tiles: jax.Array, w: int, h: int) -> jax.Array:
+def untile_rays(tiles: jax.Array, w: int, h: int, tile_w: int = TILE_W,
+                tile_h: int = TILE_H) -> jax.Array:
     """Inverse of :func:`tile_rays`: ``(T, R, C)`` -> ``(H, W, C)`` cropped."""
-    wp, hp = pad_dims(w, h)
+    wp, hp = pad_dims(w, h, tile_w, tile_h)
     c = tiles.shape[-1]
-    t = tiles.reshape(hp // TILE_H, wp // TILE_W, TILE_H, TILE_W, c)
+    t = tiles.reshape(hp // tile_h, wp // tile_w, tile_h, tile_w, c)
     t = t.transpose(0, 2, 1, 3, 4).reshape(hp, wp, c)
     return t[:h, :w]
 
@@ -84,12 +88,14 @@ def prepare_ray_tiles(rc: Raycaster) -> jax.Array:
     return prepare_ray_tiles_raw(rc.view, rc.ray_step, esl_fn)
 
 
-def prepare_ray_tiles_raw(view, ray_step: float, esl_fn=None) -> jax.Array:
+def prepare_ray_tiles_raw(view, ray_step: float, esl_fn=None,
+                          tile_w: int = TILE_W,
+                          tile_h: int = TILE_H) -> jax.Array:
     """:func:`prepare_ray_tiles` from raw components (no Raycaster needed —
     used by the fused differentiable path, which has a float scene instead
     of a uint8 Raycaster)."""
     w, h = view.dims
-    wp, hp = pad_dims(w, h)
+    wp, hp = pad_dims(w, h, tile_w, tile_h)
     origins, directions = rays_mod.get_rays(view)
     pad = ((0, hp - h), (0, wp - w), (0, 0))
     origins = jnp.pad(origins, pad)
@@ -118,7 +124,8 @@ def prepare_ray_tiles_raw(view, ray_step: float, esl_fn=None) -> jax.Array:
     packed = packed.at[:, CH_K0].set(k0)
     packed = packed.at[:, CH_KFAR].set(kfar)
     packed = packed.at[:, CH_ALIVE].set(alive.astype(jnp.float32))
-    tiles = tile_rays(packed.reshape(hp, wp, N_CHANNELS), w, h)
+    tiles = tile_rays(
+        packed.reshape(hp, wp, N_CHANNELS), w, h, tile_w, tile_h)
 
     # Per-tile k-band offsets (see CH_J0 note above).
     tk0 = tiles[..., CH_K0]

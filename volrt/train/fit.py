@@ -100,19 +100,50 @@ def fit(
     mesh=None,
     log_every: int = 0,
     logger=None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> tuple[DiffScene, list[float]]:
-    """Fit the scene to targets; returns (scene, per-step losses)."""
+    """Fit the scene to targets; returns (scene, per-step losses).
+
+    ``checkpoint_path`` + ``checkpoint_every`` periodically persist the full
+    TrainState (scene + optimizer + step) so long fits survive preemption;
+    ``resume=True`` loads that state (if the file exists) and continues from
+    its step counter — ``steps`` counts total steps including resumed ones.
+    """
+    import os
+
     optimizer = make_optimizer(lr)
     train_step = make_train_step(
         optimizer, train_density=train_density, train_tf=train_tf, mesh=mesh
     )
     state = init_state(scene, optimizer)
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        from volrt.train import checkpoint as ckpt
+
+        state = ckpt.load(checkpoint_path, optimizer)
+        if logger:
+            logger.log(
+                f"resumed from {checkpoint_path} at step {int(state.step)}")
     losses = []
-    for i in range(steps):
+    start = int(state.step)
+    for i in range(start, steps):
         view, target = views_and_targets[i % len(views_and_targets)]
         state, loss = train_step(state, view, target)
         losses.append(float(loss))
         if log_every and (i % log_every == 0):
             msg = f"fit step {i}: loss {losses[-1]:.6f}"
             (logger.log if logger else print)(msg)
+        if (checkpoint_path and checkpoint_every
+                and (i + 1) % checkpoint_every == 0):
+            from volrt.train import checkpoint as ckpt
+
+            ckpt.save(checkpoint_path, state)
+            if logger:
+                logger.log(f"checkpoint at step {i + 1} -> "
+                           f"{checkpoint_path}")
+    if checkpoint_path:
+        from volrt.train import checkpoint as ckpt
+
+        ckpt.save(checkpoint_path, state)
     return state.scene, losses
