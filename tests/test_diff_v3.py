@@ -113,3 +113,42 @@ class TestV3Backward:
         np.testing.assert_allclose(
             np.asarray(g_ref.density), np.asarray(g_v3.density), atol=5e-6
         )
+
+
+class TestV3ESL:
+    def test_esl_image_identical_grads_match_reference(self):
+        """Leading-empty-space leaping leaves the image unchanged (skipped
+        samples have zero TF contribution) and the fused ESL gradients match
+        the XLA reference with the same ESL setting."""
+        vol = np.zeros((16, 16, 16), np.uint8)
+        vol[10:14, 10:14, 10:14] = 220  # sparse corner blob
+        scene = scene_from_volume(
+            jnp.asarray(vol), default_transfer_fn(), 0.12)
+        cam = Camera(dims=(32, 32))
+        cam.set_camera_position((30.0, 20.0, 0.0))
+        view = cam.view()
+
+        img_plain = np.asarray(jax.jit(render_image_v3)(scene, view))
+        img_esl, ovf = jax.jit(
+            lambda s, v: render_image_v3_with_ovf(s, v, esl=True)
+        )(scene, view)
+        np.testing.assert_allclose(
+            img_plain, np.asarray(img_esl), atol=1e-6)
+        assert float(ovf) == 0.0
+
+        target = jnp.zeros((32, 32, 4), jnp.float32)
+
+        def loss_ref(s):
+            img = render_diff_image(s, view, esl=True)
+            return jnp.mean((img - target) ** 2)
+
+        def loss_v3(s):
+            img = render_image_v3(s, view, esl=True)
+            return jnp.mean((img - target) ** 2)
+
+        g_ref = jax.grad(loss_ref)(scene)
+        g_v3 = jax.grad(loss_v3)(scene)
+        np.testing.assert_allclose(
+            np.asarray(g_ref.density), np.asarray(g_v3.density), atol=5e-6)
+        np.testing.assert_allclose(
+            np.asarray(g_ref.tf_base), np.asarray(g_v3.tf_base), atol=5e-6)

@@ -43,6 +43,7 @@ class BenchConfig:
     ray_step_factor: float = 1.0
     interpolation: str = "trilinear"
     light_kd: float = 0.6
+    file: str | None = None  # PVM/RAW dataset (reference: VolR.cpp:255-268)
 
 
 def synthetic_volume(n: int, seed: int = 0) -> np.ndarray:
@@ -57,14 +58,26 @@ def synthetic_volume(n: int, seed: int = 0) -> np.ndarray:
     return np.clip(shell + blob + noise, 0, 255).astype(np.uint8)
 
 
-def default_suite(small: bool = False) -> list[BenchConfig]:
+def default_suite(small: bool = False,
+                  files: list[str] | None = None) -> list[BenchConfig]:
     """The benchmark sweep, mirroring the reference's 24-config structure
-    (reference: VolR.cpp:34-38,270-321) with synthetic datasets."""
+    (reference: VolR.cpp:34-38,270-321) with synthetic datasets, plus any
+    real PVM/RAW datasets passed in ``files`` (the reference loads seven
+    named PVM files, VolR.cpp:255-268)."""
+    import os
+
     cfgs: list[BenchConfig] = []
+    for path in files or []:
+        cfgs.append(BenchConfig(
+            os.path.splitext(os.path.basename(path))[0], file=path))
     # Dataset sweep (reference configs 1-7: seven PVM datasets).
     sizes = [32, 64, 128] if small else [32, 64, 128, 256]
     for n in sizes:
         cfgs.append(BenchConfig(f"synthetic_{n}", volume_size=n))
+    # Nearest-neighbor config so the constant-memory rung (pallas-nn, id 2)
+    # is exercised by the default sweep.
+    cfgs.append(BenchConfig(
+        "nearest_64", volume_size=64, interpolation="nearest"))
     # Optimization toggles on one dataset (reference configs 8-10).
     base = 64 if small else 128
     cfgs.append(BenchConfig("no_optim", base, esl=False, ert=False))
@@ -122,24 +135,35 @@ def renderer_fns(rc: Raycaster, renderers: list[int]):
 
 def run_suite(
     configs: list[BenchConfig] | None = None,
-    renderers: list[int] = (1, 3, 4),
+    renderers: list[int] = (1, 2, 3, 4),
     frames: int = 8,
     warmup: int = 1,
     profiler: Profiler | None = None,
     logger=None,
+    trace_dir: str | None = None,
 ) -> Profiler:
     """Run the benchmark sweep; returns the filled profiler.
 
     Each (config, renderer) renders ``frames`` samples over the 8 reference
     camera poses; configs whose first frame exceeds the reference's 7.5 s
     timeout are skipped for that renderer (reference: VolR.cpp:237).
+    ``trace_dir`` captures a ``jax.profiler`` trace of the timed frames
+    (one directory per run; view with TensorBoard/XProf).
     """
+    import contextlib
+
     log = (logger or get_logger()).log
     prof = profiler or Profiler()
     configs = configs if configs is not None else default_suite()
 
     for cfg in configs:
-        volume = Volume.from_numpy(synthetic_volume(cfg.volume_size))
+        if cfg.file:
+            from volrt.io.pvm import load_volume
+
+            data, _ = load_volume(cfg.file)
+            volume = Volume.from_numpy(data)
+        else:
+            volume = Volume.from_numpy(synthetic_volume(cfg.volume_size))
         camera = Camera(dims=(cfg.viewport, cfg.viewport))
         poses = []
         for angles in BENCH_ANGLES:
@@ -167,25 +191,31 @@ def run_suite(
             except Exception as e:  # OOM / unsupported size
                 log(f"bench {cfg.name}/{name}: skipped ({e})")
                 continue
-            for f in range(frames):
-                view = poses[f % len(poses)]
-                rc = rc0.replace(view=view)
-                fn = renderer_fns(rc, [rid])[0][2]
-                t0 = time.perf_counter()
-                try:
-                    result = fn()
-                    jax.device_get(jnp.sum(result))
-                except Exception as e:
-                    log(f"bench {cfg.name}/{name}: skipped ({e})")
-                    timed_out = True
-                    break
-                ms = (time.perf_counter() - t0) * 1e3
-                prof.start(cfg.name, name)
-                prof._t0 = time.perf_counter() - ms / 1e3
-                prof.stop()
-                if ms > MAX_BENCH_SAMPLE_MS:
-                    timed_out = True
-                    break
+            # Build every pose's closure before the timed region so frame
+            # timings measure device work, not Python dispatch setup.
+            frame_fns = [
+                renderer_fns(rc0.replace(view=poses[f % len(poses)]),
+                             [rid])[0][2]
+                for f in range(frames)
+            ]
+            trace_cm = (
+                jax.profiler.trace(trace_dir) if trace_dir
+                else contextlib.nullcontext()
+            )
+            with trace_cm:
+                for f, fn in enumerate(frame_fns):
+                    prof.start(cfg.name, name)
+                    try:
+                        result = fn()
+                        jax.device_get(jnp.sum(result))
+                    except Exception as e:
+                        log(f"bench {cfg.name}/{name}: skipped ({e})")
+                        timed_out = True
+                        break
+                    ms = prof.stop()
+                    if ms > MAX_BENCH_SAMPLE_MS:
+                        timed_out = True
+                        break
             if timed_out:
                 continue
         log(f"bench config {cfg.name} done")

@@ -169,10 +169,11 @@ def cmd_bench(args) -> int:
 
     log = Logger(args.log)
     prof = run_suite(
-        configs=default_suite(small=args.small),
+        configs=default_suite(small=args.small, files=args.files),
         renderers=tuple(args.renderers),
         frames=args.frames,
         logger=log,
+        trace_dir=args.trace_dir,
     )
     log.log(prof.print_avg())
     log.log(prof.print_max())
@@ -283,9 +284,14 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("bench", help="run the benchmark suite")
-    p.add_argument("--renderers", type=int, nargs="+", default=[1, 3, 4])
+    p.add_argument("-f", "--files", nargs="*", default=None,
+                   help="PVM/RAW dataset files to bench (reference loads "
+                   "seven named PVM datasets)")
+    p.add_argument("--renderers", type=int, nargs="+", default=[1, 2, 3, 4])
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--small", action="store_true")
+    p.add_argument("--trace-dir", default=None,
+                   help="capture a jax.profiler trace of the timed frames")
     p.add_argument("-o", "--output", default=None, help="CSV report path")
     p.add_argument("--log", default="volrt.log")
     p.set_defaults(fn=cmd_bench)

@@ -40,7 +40,22 @@ def _pad_tf_premult(tf_base: jax.Array) -> jax.Array:
     return jnp.pad(premult, ((0, 0), (0, X_LANES - 4)))
 
 
-@partial(jax.jit, static_argnames=("window", "blocked", "fast"))
+def _v3_fits(scene, view) -> bool:
+    """The v3 lane-major kernels require every 8x8-ray tile's per-band
+    footprint to fit one 128-lane x window: true whenever the viewport
+    resolution is in the same ballpark as the volume resolution (all
+    production/training configs). Heavily minified renders fall back to
+    the round-1 blocked kernels."""
+    from volrt.renderers.pallas import diff_v3
+
+    d, h, w = scene.density.shape
+    wz, wy = diff_v3.default_window(
+        (w, h, d), view.dims, view.perspective)
+    span = wz + diff_v3.G  # footprint + in-group drift
+    return span + 2 * diff_v3.MARGIN + 8 <= 112
+
+
+@partial(jax.jit, static_argnames=("window", "blocked", "fast", "esl"))
 def render_image_fused(
     scene: DiffScene,
     view,
@@ -48,17 +63,29 @@ def render_image_fused(
     window: tuple[int, int] | None = None,
     blocked: bool | None = None,
     fast: bool = False,
+    esl: bool = False,
 ) -> jax.Array:
     """Differentiable render -> ``f32[H, W, 4]`` (fused Pallas fwd/bwd).
 
-    ``blocked=None`` auto-selects: the VMEM-resident kernel for small
-    volumes (W <= 128 and volume + gradient within the VMEM budget), the
-    HBM/DMA blocked kernel otherwise (any size).
+    ``blocked=None`` auto-selects: the v3 lane-major kernels whenever the
+    view fits their footprint envelope (the production path), then the
+    round-1 VMEM-resident kernel for small volumes, then the round-1
+    HBM/DMA blocked kernel (any size, any minification).
     """
     from volrt.renderers.pallas import diff_blocked
 
     d, h, w = scene.density.shape
     dims = (w, h, d)
+    if blocked is None and _v3_fits(scene, view):
+        from volrt.renderers.pallas.diff_v3 import render_image_v3
+
+        return render_image_v3(
+            scene, view, ray_threshold=ray_threshold,
+            window=window, fast=fast, esl=esl)
+    if esl:
+        raise NotImplementedError(
+            "esl=True requires the v3 path (this view falls outside its "
+            "footprint envelope)")
     if blocked is None:
         dp, hp = -(-d // 8) * 8, -(-h // 8) * 8
         blocked = (w > X_LANES) or (dp * hp > _VMEM_ROW_LIMIT)

@@ -54,14 +54,57 @@ def _march_n_steps(ray_step: float) -> int:
     return int(math.ceil(2.0 * math.sqrt(3.0) / ray_step)) + 2
 
 
+def scene_empty_grid(scene: DiffScene):
+    """Derive the ESL emptiness grid from a float scene.
+
+    The density quantized to u8 drives the reference min/max block grid and
+    the TF-dependent emptiness derivation (reference: RaycasterBase.cpp:
+    46-74,94-125). Returns ``(empty bool[32,32,32], block_dims,
+    block_size)`` for :func:`volrt.renderers.batched.esl_start_raw`.
+
+    Training caveat: ESL is a *forward* optimization — skipped samples
+    contribute zero color under the current TF, so images are unchanged,
+    but their (possibly nonzero) density/TF gradients are skipped too.
+    Fused and reference paths skip identically, so gradient parity between
+    them is preserved.
+    """
+    from volrt.core import esl as esl_mod
+    from volrt.core.types import Volume, default_esl_block_dims
+
+    d, h, w = scene.density.shape
+    u8 = jnp.clip(
+        jnp.round(scene.density * 255.0), 0, 255).astype(jnp.uint8)
+    vol = Volume(data=u8, dims=(w, h, d))
+    block = default_esl_block_dims((w, h, d))
+    mm = esl_mod.build_min_max_grid(vol, block)
+    premult = jnp.concatenate(
+        [scene.tf_base[:, :3] * scene.tf_base[:, 3:4],
+         scene.tf_base[:, 3:4]], axis=-1)
+    empty = esl_mod.derive_empty_grid(mm, premult)
+    bs = (2.0 * block / w, 2.0 * block / h, 2.0 * block / d)
+    return empty, block, bs
+
+
 def render_diff(
     scene: DiffScene,
     origins: jax.Array,      # (..., 3)
     directions: jax.Array,   # (..., 3)
     ray_threshold: jax.Array | float = 0.95,
+    esl: bool = False,
 ) -> jax.Array:
-    """Render rays differentiably; returns premultiplied RGBA ``(..., 4)``."""
+    """Render rays differentiably; returns premultiplied RGBA ``(..., 4)``.
+
+    ``esl=True`` leaps each ray's leading empty space (same image; see
+    :func:`scene_empty_grid` for the gradient caveat)."""
     knear, kfar, hit = rays_mod.intersect_aabb(origins, directions)
+    if esl:
+        from volrt.renderers.batched import esl_start_raw
+
+        d, h, w = scene.density.shape
+        empty, block, bs = scene_empty_grid(scene)
+        knear = esl_start_raw(
+            empty, (w, h, d), block, bs, scene.ray_step,
+            origins, directions, knear, kfar, hit)
     n_steps = _march_n_steps(scene.ray_step)
     premult_tf = jnp.concatenate(
         [scene.tf_base[:, :3] * scene.tf_base[:, 3:4], scene.tf_base[:, 3:4]],
@@ -113,13 +156,14 @@ def render_diff(
     return acc
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("esl",))
 def render_diff_image(
-    scene: DiffScene, view: View, ray_threshold: jax.Array | float = 0.95
+    scene: DiffScene, view: View, ray_threshold: jax.Array | float = 0.95,
+    esl: bool = False,
 ) -> jax.Array:
     """Render a full viewport differentiably -> ``f32[H, W, 4]``."""
     origins, directions = rays_mod.get_rays(view)
-    return render_diff(scene, origins, directions, ray_threshold)
+    return render_diff(scene, origins, directions, ray_threshold, esl=esl)
 
 
 def scene_from_volume(volume_u8: jax.Array, tf_base: jax.Array,

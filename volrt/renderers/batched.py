@@ -33,10 +33,18 @@ def esl_start(
     leading empty region. Leap distances are quantized to whole steps so the
     sampling lattice phase is preserved per ray.
     """
-    dims = rc.volume.dims
-    block = rc.esl_block_dims
-    block_size = rc.esl_block_size
-    step = rc.ray_step
+    return esl_start_raw(
+        rc.esl_empty, rc.volume.dims, rc.esl_block_dims, rc.esl_block_size,
+        rc.ray_step, origins, directions, knear, kfar, hit)
+
+
+def esl_start_raw(
+    esl_empty: jax.Array, dims, block: int, block_size, step: float,
+    origins: jax.Array, directions: jax.Array,
+    knear: jax.Array, kfar: jax.Array, hit: jax.Array,
+) -> jax.Array:
+    """:func:`esl_start` from raw components (no Raycaster — used by the
+    differentiable path, whose scene is a float density grid)."""
 
     def cond(state):
         _, stopped = state
@@ -46,7 +54,7 @@ def esl_start(
         k, stopped = state
         pt = origins + directions * k[..., None]
         in_range = k <= kfar
-        empty = esl_mod.sample_empty(rc.esl_empty, pt, dims, block)
+        empty = esl_mod.sample_empty(esl_empty, pt, dims, block)
         do_leap = in_range & empty & ~stopped
         dk = esl_mod.leap_distance(pt, directions, dims, block, block_size, step)
         k = jnp.where(do_leap, k + dk + step, k)

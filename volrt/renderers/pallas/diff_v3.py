@@ -164,14 +164,13 @@ def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by):
             s = s & ~(align - 1)
             e = e & ~(align - 1)
         e = jnp.clip(e, s - span, s + span)
-        # Truncate-toward-zero so the in-kernel interp never overshoots
-        # the clamped endpoints (floor division would for negative drift).
+        # Floor division biases the interpolated line DOWN (<= the chord):
+        # low-side coverage is what correctness needs (mid-group dips from
+        # exiting rays sit below the chord); the kernel clamps any
+        # undershoot back into the resident brick, and the window's top
+        # slack absorbs the <=1 voxel high-side error on ascending lines.
         q = (e - s) * 16
-        slope16 = jnp.where(
-            live,
-            jnp.where(q >= 0, q // max(G - 1, 1),
-                      -((-q) // max(G - 1, 1))),
-            0)
+        slope16 = jnp.where(live, q // max(G - 1, 1), 0)
         return jnp.where(live, s, 0), slope16, jnp.where(
             live, jnp.minimum(s, e), 0)
 
@@ -292,8 +291,10 @@ def _make_iotas(wz, wy):
     return zrow, yrow, xrow, brow
 
 
-def _fetch_brick(vol0_ref, vol1_ref, brick_ref, sem, org, B, bz, by):
-    """Blocking DMA of the group brick from the phase-selected volume."""
+def _brick_dma(vol0_ref, vol1_ref, brick_slot, sem_slot, org, B,
+               bz, by):
+    """DMA descriptor pieces for group B's brick (phase-selected source).
+    Returns (start_fn, wait_fn); both re-derive the descriptor from org."""
     bzo = org[0, B, F_BZO]
     byo = pl.multiple_of(org[0, B, F_BYO], 8)
     xo = org[0, B, F_XO]
@@ -301,71 +302,141 @@ def _fetch_brick(vol0_ref, vol1_ref, brick_ref, sem, org, B, bz, by):
     sx0 = pl.multiple_of(xo, 128)
     sx1 = pl.multiple_of(xo - 64, 128)
 
-    @pl.when(ph == 0)
-    def _():
-        dma = pltpu.make_async_copy(
-            vol0_ref.at[pl.ds(bzo, bz), pl.ds(byo, by), pl.ds(sx0, XW)],
-            brick_ref, sem)
-        dma.start()
-        dma.wait()
+    def mk(src_ref, sx):
+        return pltpu.make_async_copy(
+            src_ref.at[pl.ds(bzo, bz), pl.ds(byo, by), pl.ds(sx, XW)],
+            brick_slot, sem_slot)
 
-    @pl.when(ph != 0)
-    def _():
-        dma = pltpu.make_async_copy(
-            vol1_ref.at[pl.ds(bzo, bz), pl.ds(byo, by), pl.ds(sx1, XW)],
-            brick_ref, sem)
-        dma.start()
-        dma.wait()
-    return bzo, byo, xo
+    def start():
+        @pl.when(ph == 0)
+        def _():
+            mk(vol0_ref, sx0).start()
+
+        @pl.when(ph != 0)
+        def _():
+            mk(vol1_ref, sx1).start()
+
+    def wait():
+        @pl.when(ph == 0)
+        def _():
+            mk(vol0_ref, sx0).wait()
+
+        @pl.when(ph != 0)
+        def _():
+            mk(vol1_ref, sx1).wait()
+
+    return start, wait
+
+
+def _fetch_brick(vol0_ref, vol1_ref, brick_ref, sem, org, B, bz, by):
+    """Blocking DMA of the group brick from the phase-selected volume."""
+    start, wait = _brick_dma(
+        vol0_ref, vol1_ref, brick_ref, sem, org, B, bz, by)
+    start()
+    wait()
+    return org[0, B, F_BZO], pl.multiple_of(org[0, B, F_BYO], 8), \
+        org[0, B, F_XO]
+
+
+def _tf_gather(sv8, ovf8, lutl):
+    """Batched linear-interp TF lookup for one group's samples.
+
+    ``sv8 (G, R)`` densities -> per-channel colors ``(G, 128)`` (first R
+    lanes valid) via lane gathers against the lane-major LUT ``(8, 128)``
+    — replacing a per-band one-hot matmul (measured 35% of forward time).
+    """
+    del ovf8
+    svp = jnp.pad(sv8, ((0, 0), (0, 128 - R)))
+    s = jnp.clip(svp, 0.0, 1.0)
+    tt = jnp.clip(s * TF_SIZE - 0.5, 0.0, TF_SIZE - 1.0)
+    lo = tt.astype(jnp.int32)                    # floor for tt >= 0
+    hi = jnp.minimum(lo + 1, TF_SIZE - 1)
+    fr = tt - lo.astype(jnp.float32)
+    cols = []
+    for c in range(4):
+        lsrc = jnp.broadcast_to(lutl[c:c + 1, :], (G, 128))
+        vlo = jnp.take_along_axis(lsrc, lo, axis=1)
+        vhi = jnp.take_along_axis(lsrc, hi, axis=1)
+        cols.append(vlo * (1.0 - fr) + vhi * fr)
+    in_rng = ((tt > 0.0) & (tt < TF_SIZE - 1.0)
+              & (svp > 0.0) & (svp < 1.0)).astype(jnp.float32)
+    return cols, (tt, lo, in_rng)
 
 
 def _fwd_kernel(
-    scal_ref, org_ref, rays_ref, vol0_ref, vol1_ref, tfl_ref,
+    scal_ref, org_ref, rays_ref, vol0_ref, vol1_ref, tfl_ref, lutl_ref,
     out_ref,
     brick_ref, sem,
     *, dims, ray_step, wz, wy, fast,
 ):
+    del tfl_ref  # forward uses the lane-major LUT
     dtype = jnp.float32
     prec = (jax.lax.Precision.DEFAULT if fast
             else jax.lax.Precision.HIGHEST)
     rays = rays_ref[0]
     alive0 = rays[8:9]
     thr = scal_ref[0, 0]
-    zrow, yrow, xrow, brow = _make_iotas(wz, wy)
-    lut = tfl_ref[:]                            # (TF_SIZE, 8)
-    bz, by = brick_ref.shape[0], brick_ref.shape[1]
+    zrow, yrow, xrow, _ = _make_iotas(wz, wy)
+    lutl = lutl_ref[:]                           # (8, TF_SIZE)
+    bz, by = brick_ref.shape[1], brick_ref.shape[2]
     ng_live = org_ref[0, 0, F_NG]
+
+    def start_brick(B, slot):
+        _brick_dma(vol0_ref, vol1_ref, brick_ref.at[slot], sem.at[slot],
+                   org_ref, B, bz, by)[0]()
+
+    def wait_brick(B, slot):
+        _brick_dma(vol0_ref, vol1_ref, brick_ref.at[slot], sem.at[slot],
+                   org_ref, B, bz, by)[1]()
+
+    @pl.when(ng_live > 0)
+    def _():
+        start_brick(0, 0)
 
     def body(carry):
         B, accr, accg, accb, acca, fin, novf = carry
-        bzo, byo, xo = _fetch_brick(
-            vol0_ref, vol1_ref, brick_ref, sem, org_ref, B, bz, by)
+        slot = B & 1
+        wait_brick(B, slot)
+
+        @pl.when(B + 1 < ng_live)
+        def _():
+            start_brick(B + 1, (B + 1) & 1)
+
+        bzo = org_ref[0, B, F_BZO]
+        byo = pl.multiple_of(org_ref[0, B, F_BYO], 8)
+        xo = org_ref[0, B, F_XO]
         tx, ty, tz, m_ana = _geometry(rays, B, ray_step, dims)
 
+        svals, ovfs = [], []
         for g in range(G):
             z0g, y0g = _band_scalars(
                 org_ref, B, g, bzo, byo, bz, by, wz, wy)
             bview = brick_ref[
-                pl.ds(z0g - bzo, wz),
+                slot, pl.ds(z0g - bzo, wz),
                 pl.ds(pl.multiple_of((y0g - byo) & ~7, 8), wy), :
             ].reshape(wz * wy, XW)
             sval, ovf, _ = _band_sample(
                 bview, (zrow, yrow, xrow), tx, ty, tz, z0g, y0g, xo,
                 g, wz, wy, dtype, prec)
-            oh, _ = _tf_onehot(sval, brow)
-            color = jax.lax.dot_general(
-                lut, oh.astype(dtype), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec)                    # (8, R)
-            cr, cg, cb, ca = (color[0:1], color[1:2],
-                              color[2:3], color[3:4])
+            svals.append(sval)
+            ovfs.append(ovf.astype(jnp.float32))
+        sv8 = jnp.concatenate(svals, axis=0)     # (G, R)
+        ovf8 = jnp.concatenate(ovfs, axis=0)
+        (cr8, cg8, cb8, ca8), _ = _tf_gather(sv8, ovf8, lutl)
+
+        for g in range(G):
+            cr = cr8[g:g + 1, :R]
+            cg = cg8[g:g + 1, :R]
+            cb = cb8[g:g + 1, :R]
+            ca = ca8[g:g + 1, :R]
             m = m_ana[g:g + 1] * (1.0 - fin)
             f = m * (1.0 - acca)
             accr = accr + cr * f
             accg = accg + cg * f
             accb = accb + cb * f
             acca = acca + ca * f
-            novf = novf + jnp.where(ovf & (m > 0.0), 1.0, 0.0)
+            novf = novf + jnp.where(
+                (ovf8[g:g + 1] > 0.0) & (m > 0.0), 1.0, 0.0)
             fin = jnp.maximum(
                 fin, m_ana[g:g + 1] * (acca > thr).astype(jnp.float32))
         return B + 1, accr, accg, accb, acca, fin, novf
@@ -376,16 +447,23 @@ def _fwd_kernel(
 
     z = jnp.zeros((1, R), jnp.float32)
     init = (0, z, z, z, z, 1.0 - alive0, z)
-    _, accr, accg, accb, acca, _, novf = jax.lax.while_loop(
+    B_exit, accr, accg, accb, acca, _, novf = jax.lax.while_loop(
         cond, body, init)
+
+    # Drain the prefetched-but-unconsumed DMA on ERT early exit so the
+    # slot semaphores are clean for the next grid step.
+    @pl.when(B_exit < ng_live)
+    def _():
+        wait_brick(B_exit, B_exit & 1)
+
     out_ref[0] = jnp.concatenate(
         [accr, accg, accb, acca, novf,
          jnp.zeros((3, R), jnp.float32)], axis=0)
 
 
 def _bwd_kernel(
-    scal_ref, org_ref, rays_ref, vol0_ref, vol1_ref, tfl_ref, g_ref,
-    dv0_in_ref, dv1_in_ref,
+    scal_ref, org_ref, rays_ref, vol0_ref, vol1_ref, tfl_ref, lutl_ref,
+    g_ref, dv0_in_ref, dv1_in_ref,
     dv0_ref, dv1_ref, dtf_ref,
     brick_ref, sem, acc_ref, rmw_ref, sem2, dtfacc_ref,
     *, dims, ray_step, wz, wy, fast,
@@ -401,9 +479,15 @@ def _bwd_kernel(
     gr, ggn, gb, ga = gg_[0:1], gg_[1:2], gg_[2:3], gg_[3:4]
     G_total = gg_[4:5]
     zrow, yrow, xrow, brow = _make_iotas(wz, wy)
-    lut = tfl_ref[:]
-    lut32 = tfl_ref[:]
-    bz, by = brick_ref.shape[0], brick_ref.shape[1]
+    lut = tfl_ref[:]                             # (TF_SIZE, 8)
+    lutl = lutl_ref[:]                           # (8, TF_SIZE) lane-major
+    # Lane-major TF slope LUT: slope[i] = (tf[i+1] - tf[i]) * TF_SIZE,
+    # last entry 0 (clamped lerp has zero slope there).
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (8, TF_SIZE), 1)
+    slopel = jnp.where(
+        lane_idx < TF_SIZE - 1,
+        (pltpu.roll(lutl, TF_SIZE - 1, axis=1) - lutl) * TF_SIZE, 0.0)
+    bz, by = brick_ref.shape[1], brick_ref.shape[2]
     az, ay = acc_ref.shape[0], acc_ref.shape[1]
     ng_live = org_ref[0, 0, F_NG]
 
@@ -413,6 +497,18 @@ def _bwd_kernel(
 
     dtfacc_ref[...] = jnp.zeros_like(dtfacc_ref)
     acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def start_brick(B, slot):
+        _brick_dma(vol0_ref, vol1_ref, brick_ref.at[slot], sem.at[slot],
+                   org_ref, B, bz, by)[0]()
+
+    def wait_brick(B, slot):
+        _brick_dma(vol0_ref, vol1_ref, brick_ref.at[slot], sem.at[slot],
+                   org_ref, B, bz, by)[1]()
+
+    @pl.when(ng_live > 0)
+    def _():
+        start_brick(0, 0)
 
     def flush(azo, ayo, axo, aph):
         ayo = pl.multiple_of(ayo, 8)
@@ -443,8 +539,17 @@ def _bwd_kernel(
 
     def body(carry):
         (B, acca, fin, P, azo, ayo, axo, aph, have) = carry
-        bzo, byo, xo = _fetch_brick(
-            vol0_ref, vol1_ref, brick_ref, sem, org_ref, B, bz, by)
+        slot = B & 1
+        wait_brick(B, slot)
+
+        @pl.when(B + 1 < ng_live)
+        def _():
+            start_brick(B + 1, (B + 1) & 1)
+
+        bzo = org_ref[0, B, F_BZO]
+        byo = pl.multiple_of(org_ref[0, B, F_BYO], 8)
+        xo = org_ref[0, B, F_XO]
+
         # (Re)center the gradient accumulator when this group's windows
         # leave its coverage (conservative bound: brick extent).
         fits = (
@@ -470,24 +575,34 @@ def _bwd_kernel(
 
         tx, ty, tz, m_ana = _geometry(rays, B, ray_step, dims)
 
+        # Pass 1: the group's samples (lane-major).
+        svals = []
         for g in range(G):
             z0g, y0g = _band_scalars(
                 org_ref, B, g, bzo, byo, bz, by, wz, wy)
             bview = brick_ref[
-                pl.ds(z0g - bzo, wz),
+                slot, pl.ds(z0g - bzo, wz),
                 pl.ds(pl.multiple_of((y0g - byo) & ~7, 8), wy), :
             ].reshape(wz * wy, XW)
-            sval, _, (wmat, xw, _) = _band_sample(
+            sval, _, _ = _band_sample(
                 bview, (zrow, yrow, xrow), tx, ty, tz, z0g, y0g, xo,
                 g, wz, wy, dtype, prec)
-            oh, in_rng = _tf_onehot(sval, brow)
-            ohd = oh.astype(dtype)
-            color = jax.lax.dot_general(
-                lut, ohd, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec)                     # (8, R)
-            cr, cg, cb, ca = (color[0:1], color[1:2],
-                              color[2:3], color[3:4])
+            svals.append(sval)
+        sv8 = jnp.concatenate(svals, axis=0)
+        (cr8, cg8, cb8, ca8), (tt8, lo8, rng8) = _tf_gather(
+            sv8, None, lutl)
+        # Batched slope gathers (replaces the per-band d(one-hot) matmul).
+        slopes = []
+        for c in range(4):
+            ssrc = jnp.broadcast_to(slopel[c:c + 1, :], (G, 128))
+            slopes.append(jnp.take_along_axis(ssrc, lo8, axis=1))
+
+        # Pass 2: sequential composite + cotangents + gradient matmuls.
+        for g in range(G):
+            cr = cr8[g:g + 1, :R]
+            cg = cg8[g:g + 1, :R]
+            cb = cb8[g:g + 1, :R]
+            ca = ca8[g:g + 1, :R]
             m = m_ana[g:g + 1] * (1.0 - fin)
             T = m * (1.0 - acca)
             contrib = (gr * cr + ggn * cg + gb * cb + ga * ca) * T
@@ -503,30 +618,34 @@ def _bwd_kernel(
                 [dcr, dcg, dcb, dca, jnp.zeros((4, R), jnp.float32)],
                 axis=0) * m                          # (8, R)
 
-            # dTF += oh @ dcol^T  -> (TF_SIZE, 8); in-register per tile.
+            # dTF += oh @ dcol^T -> (TF_SIZE, 8); in-register per tile.
+            oh = jnp.maximum(
+                0.0, 1.0 - jnp.abs(brow - tt8[g:g + 1, :R]))
             dtfacc_ref[...] += jax.lax.dot_general(
-                ohd, dcol.astype(dtype), (((1,), (1,)), ((), ())),
+                oh, dcol, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec)
 
-            # dsval via the TF slope: d(oh)/dtt is +-1 on the two taps.
-            tt = jnp.clip(
-                jnp.clip(sval, 0.0, 1.0) * TF_SIZE - 0.5,
-                0.0, TF_SIZE - 1.0)
-            # d(oh)/dtt = sign(bin - tt) on the two live taps: the lerp
-            # slope lut[hi] - lut[lo] falls out of the matmul below.
-            doh = jnp.where(
-                jnp.abs(brow - tt) < 1.0, jnp.sign(brow - tt), 0.0)
-            slope = jax.lax.dot_general(
-                lut32, doh.astype(jnp.float32), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec) * TF_SIZE            # (8, R)
             dsval = (
-                slope[0:1] * dcr + slope[1:2] * dcg
-                + slope[2:3] * dcb + slope[3:4] * dca
-            ) * in_rng
+                slopes[0][g:g + 1, :R] * dcr
+                + slopes[1][g:g + 1, :R] * dcg
+                + slopes[2][g:g + 1, :R] * dcb
+                + slopes[3][g:g + 1, :R] * dca
+            ) * rng8[g:g + 1, :R]
 
-            Dx = (dsval * xw).astype(dtype)          # (XW, R)
+            # Rebuild the band's tap weights for the dBrick transpose.
+            z0g, y0g = _band_scalars(
+                org_ref, B, g, bzo, byo, bz, by, wz, wy)
+            lz = tz[g:g + 1] - z0g.astype(jnp.float32)
+            ly = ty[g:g + 1] - y0g.astype(jnp.float32)
+            lx = tx[g:g + 1] - xo.astype(jnp.float32)
+            wzw = jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lz))
+            wyw = jnp.maximum(0.0, 1.0 - jnp.abs(yrow - ly))
+            wmat = (jnp.broadcast_to(
+                wzw[:, None, :], (wz, wy, R)).reshape(wz * wy, R)
+                * pltpu.repeat(wyw, wz, axis=0))
+            xw = jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lx))
+            Dx = dsval * xw                          # (XW, R)
             dbrick = jax.lax.dot_general(
                 wmat, Dx, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -550,18 +669,18 @@ def _bwd_kernel(
     zi = jnp.int32(0)
     res = jax.lax.while_loop(
         cond, body, (0, z, 1.0 - alive0, z, zi, zi, zi, zi, zi))
+    B_exit = res[0]
     azo, ayo, axo, aph, have = res[4], res[5], res[6], res[7], res[8]
+
+    @pl.when(B_exit < ng_live)
+    def _():
+        wait_brick(B_exit, B_exit & 1)
 
     @pl.when(have > 0)
     def _():
         flush(azo, ayo, axo, aph)
 
     dtf_ref[...] += dtfacc_ref[...]
-
-
-# ---------------------------------------------------------------------------
-# Host wrappers
-# ---------------------------------------------------------------------------
 
 
 def _brick_shape(vol_shape, wz, wy):
@@ -583,6 +702,7 @@ def _pallas_fwd(scal, org, rays_t, vol0, vol1, tfl, *, dims, ray_step,
     ngr = org.shape[1]
     wz, wy = window
     bz, by = _brick_shape(vol0.shape, wz, wy)
+    lutl = jnp.pad(tfl[:, :4].T, ((0, 4), (0, 0)))  # (8, TF_SIZE)
     kernel = functools.partial(
         _fwd_kernel, dims=dims, ray_step=ray_step, wz=wz, wy=wy, fast=fast)
     return pl.pallas_call(
@@ -597,16 +717,17 @@ def _pallas_fwd(scal, org, rays_t, vol0, vol1, tfl, *, dims, ray_step,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, R), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, 8, R), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((bz, by, XW), vol0.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, bz, by, XW), vol0.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret_mode(),
-    )(scal, org, rays_t, vol0, vol1, tfl)
+    )(scal, org, rays_t, vol0, vol1, tfl, lutl)
 
 
 def _pallas_bwd(scal, org, rays_t, vol0, vol1, tfl, gG, *, dims, ray_step,
@@ -616,6 +737,7 @@ def _pallas_bwd(scal, org, rays_t, vol0, vol1, tfl, gG, *, dims, ray_step,
     wz, wy = window
     bz, by = _brick_shape(vol0.shape, wz, wy)
     az, ay = _acc_shape(vol0.shape, wz, wy)
+    lutl = jnp.pad(tfl[:, :4].T, ((0, 4), (0, 0)))  # (8, TF_SIZE)
     kernel = functools.partial(
         _bwd_kernel, dims=dims, ray_step=ray_step, wz=wz, wy=wy, fast=fast)
     dv_init = jnp.zeros(vol0.shape, jnp.float32)
@@ -630,6 +752,7 @@ def _pallas_bwd(scal, org, rays_t, vol0, vol1, tfl, gG, *, dims, ray_step,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, R), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -648,16 +771,16 @@ def _pallas_bwd(scal, org, rays_t, vol0, vol1, tfl, gG, *, dims, ray_step,
             jax.ShapeDtypeStruct(tfl.shape, jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((bz, by, XW), vol0.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, bz, by, XW), vol0.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((az, ay, XW), jnp.float32),
             pltpu.VMEM((az, ay, XW), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM(tfl.shape, jnp.float32),
         ],
-        input_output_aliases={7: 0, 8: 1},
+        input_output_aliases={8: 0, 9: 1},
         interpret=interpret_mode(),
-    )(scal, org, rays_t, vol0, vol1, tfl, gG, dv_init, dv_init)
+    )(scal, org, rays_t, vol0, vol1, tfl, lutl, gG, dv_init, dv_init)
     return dv0, dv1, dtf
 
 
@@ -726,31 +849,36 @@ def _phase_volumes(density, fast):
     return v0, v1
 
 
-def _merge_phase_grads(dv0, dv1, shape, xp):
-    """dv(x) = dv0(x) + dv1(x - 64) cropped back to the density shape."""
-    d, h, w = shape
-    dv = dv0
-    if xp > XW:
-        dv = dv.at[:, :, 64:].add(dv1[:, :, :xp - 64])
-    else:
-        dv = dv + dv1 * 0.0 if dv1 is dv0 else dv  # single-phase: dv1 unused
-    return dv[:d, :h, :w]
-
-
 def render_image_v3(scene, view, ray_threshold=0.95,
-                    window=None, fast=False):
+                    window=None, fast=False, esl=False):
     """Differentiable render -> ``f32[H, W, 4]`` via the v3 kernels.
 
-    Semantics match diff.render.render_diff_image; gradients flow to
-    ``scene.density`` and ``scene.tf_base``.
+    Semantics match diff.render.render_diff_image (including ``esl``);
+    gradients flow to ``scene.density`` and ``scene.tf_base``.
     """
+    return render_image_v3_with_ovf(
+        scene, view, ray_threshold, window, fast, esl)[0]
+
+
+def render_image_v3_with_ovf(scene, view, ray_threshold=0.95,
+                             window=None, fast=False, esl=False):
+    """As render_image_v3 but also returns the total overflow count."""
     d, h, w = scene.density.shape
     dims = (w, h, d)
     wv, hv = view.dims
     if window is None:
         window = default_window(dims, view.dims, view.perspective)
+    esl_fn = None
+    if esl:
+        from volrt.diff.render import scene_empty_grid
+        from volrt.renderers.batched import esl_start_raw
+
+        empty, block, bs = scene_empty_grid(scene)
+        esl_fn = (lambda o, dvec, kn, kf, hit: esl_start_raw(
+            empty, dims, block, bs, scene.ray_step,
+            o, dvec, kn, kf, hit))
     tiles = layout.prepare_ray_tiles_raw(
-        view, scene.ray_step, tile_w=TILE, tile_h=TILE)
+        view, scene.ray_step, esl_fn, tile_w=TILE, tile_h=TILE)
     rays_t = jnp.swapaxes(tiles, 1, 2)  # (T, C, R)
     scal = jnp.concatenate([
         jnp.asarray(ray_threshold, jnp.float32).reshape(1),
@@ -759,7 +887,6 @@ def render_image_v3(scene, view, ray_threshold=0.95,
     # Phase copies participate in autodiff: the vjp returns per-phase
     # cotangents that recombine through these XLA ops automatically.
     v0, v1 = _phase_volumes(scene.density, fast)
-    xp = v0.shape[2]
     bz, by = _brick_shape(v0.shape, *window)
     org = plan_windows(
         tiles, dims, v0.shape, scene.ray_step, window[0], window[1],
@@ -773,36 +900,5 @@ def render_image_v3(scene, view, ray_threshold=0.95,
         scal, org, rays_t, v0, v1, tfl, dims, scene.ray_step,
         tuple(window), fast)
     colors = jnp.swapaxes(out[:, :4, :], 1, 2)    # (T, R, 4)
-    img = layout.untile_rays(colors, wv, hv, tile_w=TILE, tile_h=TILE)
-    return img
-
-
-def render_image_v3_with_ovf(scene, view, ray_threshold=0.95,
-                             window=None, fast=False):
-    """As render_image_v3 but also returns the total overflow count."""
-    d, h, w = scene.density.shape
-    dims = (w, h, d)
-    wv, hv = view.dims
-    if window is None:
-        window = default_window(dims, view.dims, view.perspective)
-    tiles = layout.prepare_ray_tiles_raw(
-        view, scene.ray_step, tile_w=TILE, tile_h=TILE)
-    rays_t = jnp.swapaxes(tiles, 1, 2)
-    scal = jnp.concatenate([
-        jnp.asarray(ray_threshold, jnp.float32).reshape(1),
-        jnp.zeros(7, jnp.float32)]).reshape(1, 8)
-    v0, v1 = _phase_volumes(scene.density, fast)
-    bz, by = _brick_shape(v0.shape, *window)
-    org = plan_windows(
-        tiles, dims, v0.shape, scene.ray_step, window[0], window[1],
-        bz, by)
-    premult = jnp.concatenate(
-        [scene.tf_base[:, :3] * scene.tf_base[:, 3:4],
-         scene.tf_base[:, 3:4]], axis=-1)
-    tfl = jnp.pad(premult, ((0, 0), (0, 4)))
-    out = render_tiles_v3(
-        scal, org, rays_t, v0, v1, tfl, dims, scene.ray_step,
-        tuple(window), fast)
-    colors = jnp.swapaxes(out[:, :4, :], 1, 2)
     img = layout.untile_rays(colors, wv, hv, tile_w=TILE, tile_h=TILE)
     return img, jnp.sum(out[:, 4, :])

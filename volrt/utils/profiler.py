@@ -114,3 +114,51 @@ def derived_metrics(ms: float, n_rays: int, n_steps: int) -> dict:
         "rays_per_s": n_rays / s if s else 0.0,
         "ray_steps_per_s": n_rays * n_steps / s if s else 0.0,
     }
+
+
+# --- MFU derivation (the reference Profiler reports only ms,
+#     Profiler.cpp:80-114; on TPU the utilization metric is model FLOPs
+#     against chip peak) ---
+
+# Peak dense-matmul throughput per chip, FLOP/s.
+CHIP_PEAK_FLOPS = {
+    # (device_kind substring, highest-precision pass) -> peak
+    "v5 lite": {"bf16": 197e12, "f32": 197e12 / 4},
+    "v5e": {"bf16": 197e12, "f32": 197e12 / 4},
+    "v5p": {"bf16": 459e12, "f32": 459e12 / 4},
+    "v4": {"bf16": 275e12, "f32": 275e12 / 4},
+    "v6": {"bf16": 918e12, "f32": 918e12 / 4},
+}
+
+
+def chip_peak_flops(fast: bool = True) -> float:
+    """Best-effort peak FLOP/s of the local chip (0.0 if unknown)."""
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return 0.0
+    for sub, peaks in CHIP_PEAK_FLOPS.items():
+        if sub in kind:
+            return peaks["bf16" if fast else "f32"]
+    return 0.0
+
+
+def windowed_kernel_flops(n_rays: int, n_steps: int, window_rows: int,
+                          x_width: int, backward: bool = False) -> float:
+    """Model FLOPs of the windowed gather-matmul march: each sample costs
+    one ``(rays, window_rows) x (window_rows, x_width)`` one-hot matmul
+    (2 FLOP/MAC); the analytic backward adds a same-size forward replay
+    plus the transposed dBrick matmul."""
+    per_sample = 2.0 * window_rows * x_width
+    mult = 3.0 if backward else 1.0
+    return n_rays * n_steps * per_sample * mult
+
+
+def mfu(ms: float, model_flops: float, fast: bool = True) -> float:
+    """Model FLOPs utilization vs the local chip's peak (0.0 if unknown)."""
+    peak = chip_peak_flops(fast)
+    if not peak or not ms:
+        return 0.0
+    return model_flops / (ms / 1e3) / peak
