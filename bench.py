@@ -27,7 +27,12 @@ def main() -> int:
 
     from volrt.bench.harness import bench_diff_step
 
-    m = bench_diff_step(volume_size=size, viewport=viewport, iters=iters)
+    # Static per-view window for the axis-aligned headline pose (validated
+    # overflow-free on hardware; see diff_v3.default_window for the
+    # general-view derivation).
+    window = (10, 16, 64) if backend != "cpu" else None
+    m = bench_diff_step(
+        volume_size=size, viewport=viewport, iters=iters, window=window)
     print(json.dumps({
         "metric": "diff_fwd_bwd_ray_steps_per_s",
         "value": m["ray_steps_per_s"],

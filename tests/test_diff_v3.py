@@ -92,10 +92,10 @@ class TestV3Backward:
         # resolution (the v3 design envelope: per-tile footprints fit one
         # 128-lane x window); heavily minified renders use the blocked
         # rung instead.
-        cam = Camera(dims=(64, 64))
+        cam = Camera(dims=(128, 128))
         cam.set_camera_position((20.0, 30.0, 0.0))
         view = cam.view()
-        target = jnp.zeros((64, 64, 4), jnp.float32)
+        target = jnp.zeros((128, 128, 4), jnp.float32)
 
         def loss_ref(s):
             img = render_diff_image(s, view)
@@ -144,6 +144,71 @@ class TestV3ESL:
 
         def loss_v3(s):
             img = render_image_v3(s, view, esl=True)
+            return jnp.mean((img - target) ** 2)
+
+        g_ref = jax.grad(loss_ref)(scene)
+        g_v3 = jax.grad(loss_v3)(scene)
+        np.testing.assert_allclose(
+            np.asarray(g_ref.density), np.asarray(g_v3.density), atol=5e-6)
+        np.testing.assert_allclose(
+            np.asarray(g_ref.tf_base), np.asarray(g_v3.tf_base), atol=5e-6)
+
+
+class TestV3NarrowXWindow:
+    def test_four_phase_grads(self):
+        """wx=64 with a >128-wide volume exercises all four x-phase copies
+        and their gradient recombination."""
+        vol = np.zeros((8, 8, 160), np.uint8)
+        vol[2:6, 2:6, 10:150] = 180
+        scene = scene_from_volume(
+            jnp.asarray(vol), default_transfer_fn(), 0.1)
+        # Near-axis pose: the narrow x window is a pose-tuned opt-in
+        # (it has no per-band drift slope, unlike z/y).
+        cam = Camera(dims=(256, 256))
+        cam.set_camera_position((8.0, 4.0, 0.0))
+        view = cam.view()
+        window = (8, 8, 64)
+        a = np.asarray(render_diff_image(scene, view))
+        b, ovf = jax.jit(
+            lambda s, v: render_image_v3_with_ovf(s, v, window=window)
+        )(scene, view)
+        np.testing.assert_allclose(a, np.asarray(b), atol=2e-4)
+        assert float(ovf) == 0.0
+        target = jnp.zeros((256, 256, 4), jnp.float32)
+        g_ref = jax.grad(lambda s: jnp.mean(
+            (render_diff_image(s, view) - target) ** 2))(scene)
+        g_v3 = jax.grad(lambda s: jnp.mean(
+            (render_image_v3(s, view, window=window) - target) ** 2))(
+            scene)
+        np.testing.assert_allclose(
+            np.asarray(g_ref.density), np.asarray(g_v3.density), atol=5e-6)
+
+
+class TestV3ShadedDiff:
+    def test_shaded_matches_xla_autodiff(self):
+        """Diffuse-tap shading in the fused kernels: image and gradients
+        match the XLA reference with the same shading (VERDICT: shaded
+        scenes are trainable)."""
+        scene, view = setup()
+        kd = 0.6
+        a = np.asarray(render_diff_image(
+            scene, view, light_kd=kd, shaded=True))
+        b, ovf = jax.jit(lambda s, v: render_image_v3_with_ovf(
+            s, v, light_kd=kd, shaded=True))(scene, view)
+        np.testing.assert_allclose(a, np.asarray(b), atol=2e-4)
+        assert float(ovf) == 0.0
+        # Shading actually changes the image.
+        plain = np.asarray(render_diff_image(scene, view))
+        assert np.abs(a - plain).max() > 1e-4
+
+        target = jnp.zeros(view.dims[::-1] + (4,), jnp.float32)
+
+        def loss_ref(s):
+            img = render_diff_image(s, view, light_kd=kd, shaded=True)
+            return jnp.mean((img - target) ** 2)
+
+        def loss_v3(s):
+            img = render_image_v3(s, view, light_kd=kd, shaded=True)
             return jnp.mean((img - target) ** 2)
 
         g_ref = jax.grad(loss_ref)(scene)

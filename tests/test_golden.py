@@ -124,3 +124,42 @@ class TestBatchedParity:
         b = np.asarray(batched.render_float_jit(rc))
         assert a.shape == (36, 52, 4)
         np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+class TestGradientPhong:
+    """Gradient Blinn-Phong shading option (SURVEY §7 step 4's upgrade of
+    the reference's one-tap diffuse for BASELINE config 4)."""
+
+    def _rc(self, shading):
+        from tests.conftest import synthetic_volume
+        from volrt.core.types import Volume, make_raycaster
+        from volrt.core.view import Camera
+
+        cam = Camera(dims=(24, 24))
+        cam.set_camera_position((30.0, 20.0, 0.0))
+        return make_raycaster(
+            Volume.from_numpy(synthetic_volume(16)),
+            view=cam.view(), interpolation="trilinear", shading=shading,
+        )
+
+    def test_batched_matches_golden(self):
+        import numpy as np
+
+        from volrt.renderers import batched, golden
+
+        rc = self._rc("phong")
+        a = np.asarray(golden.render_float(rc))
+        b = np.asarray(batched.render_float(rc))
+        np.testing.assert_allclose(a, b, atol=3e-5)
+
+    def test_phong_differs_from_diffuse_and_is_lit(self):
+        import numpy as np
+
+        from volrt.renderers import batched
+
+        a = np.asarray(batched.render_float(self._rc("diffuse")))
+        b = np.asarray(batched.render_float(self._rc("phong")))
+        assert np.abs(a - b).max() > 1e-3  # actually shades differently
+        assert np.isfinite(b).all()
+        # Alpha is shading-independent.
+        np.testing.assert_allclose(a[..., 3], b[..., 3], atol=1e-6)

@@ -205,3 +205,50 @@ class TestTrilinearV2:
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-6
         )
+
+
+class TestFwdV3Rung:
+    def test_matches_unshaded_trilinear_rung(self):
+        """Rung 5 (pallas-v3) matches rung 3's shade=False render."""
+        import numpy as np
+
+        from tests.conftest import synthetic_volume
+        from volrt.core.types import Volume, make_raycaster
+        from volrt.core.view import Camera
+        from volrt.renderers import get_renderer, renderer_name
+
+        cam = Camera(dims=(32, 32))
+        cam.set_camera_position((30.0, 20.0, 0.0))
+        rc = make_raycaster(
+            Volume.from_numpy(synthetic_volume(16)),
+            view=cam.view(), light_kd=0.0, interpolation="trilinear",
+        )
+        tri = get_renderer(3)
+        v3 = get_renderer(5)
+        assert renderer_name(5) == "pallas-v3"
+        a, _ = tri.render_float(rc, shade=False)
+        b, ovf = v3.render_float(rc)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4)
+        assert float(ovf) == 0.0
+
+    def test_esl_and_ert(self):
+        """Rung 5 honors ESL (same image) and ERT (dense scene renders)."""
+        import numpy as np
+
+        from tests.conftest import synthetic_volume
+        from volrt.core.types import Volume, make_raycaster
+        from volrt.core.view import Camera
+        from volrt.renderers import get_renderer
+
+        cam = Camera(dims=(24, 24))
+        cam.set_camera_position((25.0, 10.0, 0.0))
+        vol = Volume.from_numpy(synthetic_volume(16))
+        v3 = get_renderer(5)
+        rc = make_raycaster(vol, view=cam.view(), light_kd=0.0,
+                            interpolation="trilinear", esl=True)
+        rc_noesl = rc.replace(esl=False)
+        a, _ = v3.render_float(rc)
+        b, _ = v3.render_float(rc_noesl)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6)

@@ -78,6 +78,11 @@ def default_suite(small: bool = False,
     # is exercised by the default sweep.
     cfgs.append(BenchConfig(
         "nearest_64", volume_size=64, interpolation="nearest"))
+    # Unshaded config: the flagship rung (pallas-v3, id 5) plus 3/4 with
+    # the shade tap statically skippable.
+    cfgs.append(BenchConfig(
+        "noshade_128" if not small else "noshade_64",
+        volume_size=64 if small else 128, light_kd=0.0))
     # Optimization toggles on one dataset (reference configs 8-10).
     base = 64 if small else 128
     cfgs.append(BenchConfig("no_optim", base, esl=False, ert=False))
@@ -123,9 +128,11 @@ def renderer_fns(rc: Raycaster, renderers: list[int]):
         mod = get_renderer(rid)
         if rid in (2,) and rc.interpolation != "nearest":
             continue
-        if rid in (3, 4) and rc.interpolation != "trilinear":
+        if rid in (3, 4, 5) and rc.interpolation != "trilinear":
             continue
-        if rid in (3, 4):
+        if rid == 5 and float(rc.light_kd) != 0.0:
+            continue  # pallas-v3 is the unshaded flagship rung
+        if rid in (3, 4, 5):
             fn = lambda rc=rc, mod=mod: mod.render_float(rc)[0]
         else:
             fn = lambda rc=rc, mod=mod: mod.render_float(rc)
@@ -228,6 +235,7 @@ def bench_diff_step(
     ray_step: float | None = None,
     iters: int = 10,
     fused: bool = True,
+    window: tuple[int, int] | None = None,
 ) -> dict:
     """Benchmark one differentiable forward+backward step (loss+grads) —
     the BASELINE.md headline metric: rays*steps/s for fwd+bwd.
@@ -266,7 +274,7 @@ def bench_diff_step(
         # (threshold 2.0) so the step count below reflects actual work.
         def loss_fn(scene, view, target):
             img = render_image_fused(
-                scene, view, ray_threshold=2.0, fast=True
+                scene, view, ray_threshold=2.0, fast=True, window=window
             )
             return jnp.mean((img - target) ** 2)
     else:

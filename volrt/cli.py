@@ -31,6 +31,10 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-esl", action="store_true")
     p.add_argument("--no-ert", action="store_true")
     p.add_argument("--light-kd", type=float, default=0.6)
+    p.add_argument("--shading", choices=("diffuse", "phong"),
+                   default="diffuse",
+                   help="diffuse = reference one-tap shading; phong = "
+                   "gradient Blinn-Phong (renderers 0-1)")
     p.add_argument("--interpolation", choices=("nearest", "trilinear"),
                    default=None,
                    help="default: nearest for renderers 0-2, trilinear 3-4")
@@ -94,6 +98,7 @@ def _make_rc(args, camera=None):
         esl=not args.no_esl,
         light_kd=args.light_kd,
         interpolation=interp,
+        shading=getattr(args, "shading", "diffuse"),
     )
 
 

@@ -18,7 +18,7 @@ ESL_VOLUME_DIMS = 32
 ESL_MIN_BLOCK_SIZE = 8
 
 # Number of renderer rungs in the ladder (reference: common.h:16).
-RENDERER_COUNT = 5
+RENDERER_COUNT = 6  # reference ladder (5) + pallas-v3
 
 # Default render parameters (reference: RaycasterBase.cpp:9-20).
 DEFAULT_RAY_STEP = 0.06
@@ -35,3 +35,10 @@ SHADE_KD_GATE = 0.01
 # Offset of the secondary shading tap toward the light
 # (reference: RaycasterBase.h:91, GPURenderer4.cu:44-46).
 SHADE_LIGHT_OFFSET = 0.01
+
+# Gradient-Phong shading option (new capability; upgrades the reference's
+# one-tap diffuse for BASELINE config 4): ambient floor, specular weight
+# and exponent of the Blinn-Phong model over central-difference normals.
+PHONG_KA = 0.3
+PHONG_KS = 0.2
+PHONG_SHININESS = 16.0

@@ -118,7 +118,8 @@ class View:
 
 
 @_pytree_dataclass(
-    meta_fields=("ray_step", "esl", "esl_block_dims", "interpolation")
+    meta_fields=("ray_step", "esl", "esl_block_dims", "interpolation",
+                 "shading")
 )
 class Raycaster:
     """The full render state for one frame — the framework's central pytree.
@@ -154,6 +155,7 @@ class Raycaster:
     esl: bool
     esl_block_dims: int
     interpolation: str
+    shading: str = "diffuse"
 
     @property
     def esl_block_size(self) -> tuple[float, float, float]:
@@ -196,6 +198,7 @@ def make_raycaster(
     esl: bool = True,
     light_kd: float = DEFAULT_LIGHT_KD,
     interpolation: str = "nearest",
+    shading: str = "diffuse",
 ) -> Raycaster:
     """Assemble a full render state, deriving ESL grid and TF like the
     reference's ``RaycasterBase::set_volume`` + ``reset_transfer_fn``
@@ -228,4 +231,5 @@ def make_raycaster(
         esl=esl,
         esl_block_dims=block_dims,
         interpolation=interpolation,
+        shading=shading,
     )

@@ -49,7 +49,7 @@ def _v3_fits(scene, view) -> bool:
     from volrt.renderers.pallas import diff_v3
 
     d, h, w = scene.density.shape
-    wz, wy = diff_v3.default_window(
+    wz, wy, _ = diff_v3.default_window(
         (w, h, d), view.dims, view.perspective)
     span = wz + diff_v3.G  # footprint + in-group drift
     return span + 2 * diff_v3.MARGIN + 8 <= 112

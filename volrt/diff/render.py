@@ -91,11 +91,22 @@ def render_diff(
     directions: jax.Array,   # (..., 3)
     ray_threshold: jax.Array | float = 0.95,
     esl: bool = False,
+    light_kd: jax.Array | float = 0.0,
+    light_pos: jax.Array | None = None,
 ) -> jax.Array:
     """Render rays differentiably; returns premultiplied RGBA ``(..., 4)``.
 
     ``esl=True`` leaps each ray's leading empty space (same image; see
-    :func:`scene_empty_grid` for the gradient caveat)."""
+    :func:`scene_empty_grid` for the gradient caveat). ``light_kd > 0``
+    enables the reference's gated one-tap diffuse shading
+    (reference: RaycasterBase.h:87-98), differentiable through both taps.
+    """
+    from volrt.constants import (
+        SHADE_ALPHA_GATE,
+        SHADE_KD_GATE,
+        SHADE_LIGHT_OFFSET,
+    )
+
     knear, kfar, hit = rays_mod.intersect_aabb(origins, directions)
     if esl:
         from volrt.renderers.batched import esl_start_raw
@@ -120,12 +131,25 @@ def render_diff(
         hi = jnp.clip(i0 + 1, 0, TF_SIZE - 1)
         return premult_tf[lo] * (1 - frac) + premult_tf[hi] * frac
 
+    shaded = light_pos is not None
+
     def step(carry, i):
         acc, alive = carry
         k = knear + i * scene.ray_step
         pt = origins + directions * k[..., None]
         val = sampling.sample_trilinear_f(scene.density, pt)
         color = tf_lookup(val)
+        if shaded:
+            ldir = light_pos - pt
+            ldir = ldir / jnp.linalg.norm(ldir, axis=-1, keepdims=True)
+            val_l = sampling.sample_trilinear_f(
+                scene.density, pt + ldir * SHADE_LIGHT_OFFSET)
+            gate = ((color[..., 3] > SHADE_ALPHA_GATE)
+                    & (light_kd > SHADE_KD_GATE))
+            diffuse = jnp.where(gate, (val_l - val) * light_kd, 0.0)
+            color = jnp.concatenate(
+                [color[..., :3] + diffuse[..., None], color[..., 3:4]],
+                axis=-1)
         mask = (alive & (k <= kfar))[..., None]
         acc = acc + jnp.where(mask, color * (1.0 - acc[..., 3:4]), 0.0)
         alive = alive & (acc[..., 3] <= ray_threshold) & (k <= kfar)
@@ -156,14 +180,21 @@ def render_diff(
     return acc
 
 
-@partial(jax.jit, static_argnames=("esl",))
+@partial(jax.jit, static_argnames=("esl", "shaded"))
 def render_diff_image(
     scene: DiffScene, view: View, ray_threshold: jax.Array | float = 0.95,
-    esl: bool = False,
+    esl: bool = False, light_kd: jax.Array | float = 0.0,
+    shaded: bool = False,
 ) -> jax.Array:
-    """Render a full viewport differentiably -> ``f32[H, W, 4]``."""
+    """Render a full viewport differentiably -> ``f32[H, W, 4]``.
+
+    ``shaded=True`` applies the diffuse light tap with the view's light
+    position and ``light_kd``."""
     origins, directions = rays_mod.get_rays(view)
-    return render_diff(scene, origins, directions, ray_threshold, esl=esl)
+    return render_diff(
+        scene, origins, directions, ray_threshold, esl=esl,
+        light_kd=light_kd,
+        light_pos=(view.light_pos if shaded else None))
 
 
 def scene_from_volume(volume_u8: jax.Array, tf_base: jax.Array,

@@ -9,7 +9,9 @@ common.h:16) re-designed for TPU:
                            volume, one-hot-matmul gathers (GPURenderer2/3 analog)
   3. ``pallas-trilinear``— Pallas kernel, trilinear + interpolated TF
                            (GPURenderer4 analog)
-  4. ``pallas-blocked``  — flagship blocked/DMA Pallas kernel for large volumes
+  4. ``pallas-blocked``  — blocked/DMA Pallas kernel for large volumes
+  5. ``pallas-v3``       — lane-major planned-window kernel (flagship,
+                           unshaded trilinear; use when light_kd == 0)
 
 Every rung renders the same scene allclose to rung 0 within documented
 tolerances.
@@ -31,6 +33,8 @@ def get_renderer(renderer_id: int):
         from volrt.renderers.pallas import trilinear as mod
     elif renderer_id == 4:
         from volrt.renderers.pallas import blocked as mod
+    elif renderer_id == 5:
+        from volrt.renderers.pallas import fwd_v3 as mod
     else:
         raise ValueError(
             f"renderer id {renderer_id} out of range 0..{RENDERER_COUNT - 1}"

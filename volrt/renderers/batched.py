@@ -85,7 +85,7 @@ def render_float(rc: Raycaster) -> jax.Array:
     def body(state):
         k, acc, alive = state
         pt = o + d * k[..., None]
-        color = classify_and_shade(rc, pt)
+        color = classify_and_shade(rc, pt, d)
         acc = jnp.where(alive[..., None], composite(acc, color), acc)
         ert = acc[..., 3] > rc.ray_threshold
         k = k + step

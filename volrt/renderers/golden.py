@@ -64,7 +64,7 @@ def _march_single_ray(rc: Raycaster, origin: jax.Array, direction: jax.Array):
     def march_body(state):
         k, acc, _ = state
         pt = origin + direction * k
-        color = classify_and_shade(rc, pt[None])[0]
+        color = classify_and_shade(rc, pt[None], direction[None])[0]
         acc = composite(acc, color)
         ert = acc[3] > rc.ray_threshold  # reference: CPURenderer.cpp:35
         k = k + step

@@ -50,11 +50,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from volrt.constants import TF_SIZE
+from volrt.constants import SHADE_ALPHA_GATE, SHADE_KD_GATE, TF_SIZE
 from volrt.renderers.pallas import layout
 from volrt.renderers.pallas.common import X_LANES, interpret_mode
 
-TILE = 8          # 8x8 ray tiles
+TILE = 16         # 16x16 ray tiles
 R = TILE * TILE   # rays per tile (lane dimension)
 G = 8             # march bands per group (brick/geometry amortization)
 MARGIN = 2        # window slack around the footprint minimum
@@ -62,7 +62,7 @@ BPAD_Z = 16       # brick headroom over the window (in-group drift)
 BPAD_Y = 16
 APAD_Z = 24       # gradient-accumulator headroom (multi-group residency)
 APAD_Y = 24
-XW = X_LANES      # x window width (one lane tile)
+XW = X_LANES      # max x window width (one lane tile)
 
 _INF = jnp.float32(1e30)
 
@@ -85,11 +85,34 @@ def default_window(dims, view_dims, perspective=False):
     # window.
     wz = min(wz, -(-dims[2] // 8) * 8)
     wy = min(-(-wy // 8) * 8, -(-dims[1] // 8) * 8)
-    return max(4, wz), max(8, wy)
+    # The x window stays a full lane tile by default: unlike z/y it has no
+    # per-band origin slope, so it must absorb the whole group's x drift
+    # for arbitrary view directions. Near-axis views can opt into wx=64
+    # (halves the gather matmul, x reduction, and brick DMA) by passing an
+    # explicit (wz, wy, 64) window.
+    return max(4, wz), max(8, wy), 128
 
 
-def n_groups_for(ray_step: float) -> int:
-    return -(-layout.max_bands(ray_step) // G)
+def _norm_window(window):
+    """Accept (wz, wy) [x width 128] or (wz, wy, wx)."""
+    if len(window) == 2:
+        return (int(window[0]), int(window[1]), 128)
+    return (int(window[0]), int(window[1]), int(window[2]))
+
+
+def n_groups_for(ray_step: float, view_dims=None) -> int:
+    """Static band-group bound. layout.max_bands doubles max_steps to cover
+    arbitrary per-tile k-offsets (j0); within one TILE x TILE patch the
+    entry-depth spread is bounded by the tile's world-space diagonal, so a
+    view-aware bound roughly halves the planning arrays at 512^3 scale."""
+    if view_dims is None:
+        return -(-layout.max_bands(ray_step) // G)
+    import math as _m
+
+    px = 3.0 / min(view_dims)  # conservative world units per pixel
+    j0_bound = int(_m.ceil(TILE * 1.5 * px / ray_step)) + 2
+    bands = layout.max_steps(ray_step) + j0_bound + G
+    return min(-(-bands // G), -(-layout.max_bands(ray_step) // G))
 
 
 # ---------------------------------------------------------------------------
@@ -101,7 +124,8 @@ def n_groups_for(ray_step: float) -> int:
 ORG_C = 16  # padded field count
 
 
-def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by):
+def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by,
+                 wx=128, view_dims=None):
     """Fit per-(tile, group) window-origin lines from the ray bundle.
 
     For straight rays the per-band footprint minimum is (near-)linear in
@@ -124,34 +148,35 @@ def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by):
     alive = tiles[..., 8] > 0.0
     j0 = tiles[..., 9]
 
-    ng = n_groups_for(ray_step)
+    ng = n_groups_for(ray_step, view_dims)
     phi = k0 - j0 * step
     bex = j0 + jnp.floor((kfar - k0) / step + 1e-6)
 
-    b_idx = jnp.arange(ng, dtype=jnp.float32) * G
-    ends = jnp.stack([b_idx, b_idx + (G - 1)], axis=-1).reshape(-1)  # (NG*2,)
-    gs = jnp.repeat(b_idx, 2)           # group start band per end
-    ge = gs + (G - 1)
+    def group_stats(b0):
+        """Masked per-axis footprint min/max at one group's two end bands
+        -> stacked (T, 10). Scanned over groups to keep the intermediates
+        at (T, R) instead of (T, R, NG*2) (which OOMs at 512^3 scale)."""
+        gs, ge = b0, b0 + (G - 1)
+        outs = []
+        act = alive & (j0 <= ge) & (bex >= gs)
+        for e in (gs, ge):
+            bcl = jnp.clip(e, j0, bex)
+            kk = phi + bcl * step
+            for o_c, d_c, n_c in ((oz, dz, d), (oy, dy, h), (ox, dx, w)):
+                t = (o_c + d_c * kk + 1.0) * (0.5 * n_c) - 0.5
+                outs.append(jnp.min(jnp.where(act, t, _INF), axis=1))
+            tx_ = (ox + dx * kk + 1.0) * (0.5 * w) - 0.5
+            outs.append(jnp.max(jnp.where(act, tx_, -_INF), axis=1))
+        outs.append(jnp.any(act, axis=1).astype(jnp.float32))
+        return jnp.stack(outs, axis=-1)  # (T, 9)
 
-    # (T, R, NG*2)
-    bcl = jnp.clip(ends[None, None, :], j0[..., None], bex[..., None])
-    kk = phi[..., None] + bcl * step
-    act = (
-        alive[..., None]
-        & (j0[..., None] <= ge[None, None, :])
-        & (bex[..., None] >= gs[None, None, :])
-    )
-
-    def axis_minmax(o_c, d_c, n_c):
-        t = (o_c[..., None] + d_c[..., None] * kk + 1.0) * (0.5 * n_c) - 0.5
-        lo = jnp.min(jnp.where(act, t, _INF), axis=1)    # (T, NG*2)
-        hi = jnp.max(jnp.where(act, t, -_INF), axis=1)
-        return lo.reshape(t_count, ng, 2), hi.reshape(t_count, ng, 2)
-
-    zmin, _ = axis_minmax(oz, dz, d)
-    ymin, _ = axis_minmax(oy, dy, h)
-    xmin, xmax = axis_minmax(ox, dx, w)
-    live = jnp.any(act, axis=1).reshape(t_count, ng, 2).any(axis=-1)
+    b_starts = jnp.arange(ng, dtype=jnp.float32) * G
+    stats = jax.lax.map(group_stats, b_starts)   # (NG, T, 9)
+    stats = jnp.moveaxis(stats, 0, 1)            # (T, NG, 9)
+    zmin = stats[..., (0, 4)]
+    ymin = stats[..., (1, 5)]
+    xmin = stats[..., (2, 6)]
+    live = stats[..., 8] > 0.0
 
     def line(lo, limit, width, span, align=1):
         s = jnp.clip(
@@ -179,13 +204,15 @@ def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by):
     bzo = jnp.clip(zlo, 0, Dp - bz)
     byo = jnp.clip(ylo & ~7, 0, Hp - by)
 
+    shift = wx // 2
+    n_ph = max(1, 128 // shift) if Xp > wx else 1
     xg_min = jnp.min(xmin, axis=-1)
     xo = jnp.clip(
         (jnp.floor(jnp.where(live, xg_min, 0.0)).astype(jnp.int32)
-         - MARGIN) & ~63,
-        0, Xp - XW)
-    phase = (xo >> 6) & 1
-    del xmax  # straddle overflow is caught by the kernel's ovf counter
+         - MARGIN) & ~(shift - 1),
+        0, Xp - 128)  # fetches are 128 wide regardless of wx
+    phase = (xo // shift) % n_ph
+
 
     ng_live = jnp.max(
         jnp.where(live, jnp.arange(1, ng + 1)[None, :], 0),
@@ -227,7 +254,27 @@ def _geometry(rays, B, step, dims):
     tx = jnp.clip((px + 1.0) * (0.5 * w) - 0.5, 0.0, w - 1.0)
     ty = jnp.clip((py + 1.0) * (0.5 * h) - 0.5, 0.0, h - 1.0)
     tz = jnp.clip((pz + 1.0) * (0.5 * d) - 0.5, 0.0, d - 1.0)
-    return tx, ty, tz, m_ana
+    return tx, ty, tz, m_ana, (px, py, pz)
+
+
+def _light_coords(pw, scal_ref, dims):
+    """Voxel coords of the diffuse light tap: positions offset by
+    SHADE_LIGHT_OFFSET toward the light (reference: RaycasterBase.h:91)."""
+    from volrt.constants import SHADE_LIGHT_OFFSET
+
+    w, h, d = dims
+    px, py, pz = pw
+    lx_ = scal_ref[0, 2] - px
+    ly_ = scal_ref[0, 3] - py
+    lz_ = scal_ref[0, 4] - pz
+    inv = jax.lax.rsqrt(lx_ * lx_ + ly_ * ly_ + lz_ * lz_ + 1e-20)
+    px2 = px + lx_ * inv * SHADE_LIGHT_OFFSET
+    py2 = py + ly_ * inv * SHADE_LIGHT_OFFSET
+    pz2 = pz + lz_ * inv * SHADE_LIGHT_OFFSET
+    tx2 = jnp.clip((px2 + 1.0) * (0.5 * w) - 0.5, 0.0, w - 1.0)
+    ty2 = jnp.clip((py2 + 1.0) * (0.5 * h) - 0.5, 0.0, h - 1.0)
+    tz2 = jnp.clip((pz2 + 1.0) * (0.5 * d) - 0.5, 0.0, d - 1.0)
+    return tx2, ty2, tz2
 
 
 def _band_scalars(org, B, g, bzo, byo, bz, by, wz, wy):
@@ -241,14 +288,14 @@ def _band_scalars(org, B, g, bzo, byo, bz, by, wz, wy):
 
 
 def _band_sample(brick_ref, iotas, tx, ty, tz, z0g, y0g, xo,
-                 g, wz, wy, dtype, prec):
+                 g, wz, wy, wx, dtype, prec):
     """One band's trilinear sample -> (sval (1,R) f32, ovf (1,R))."""
     zrow, yrow, xrow = iotas
     lz = tz[g:g + 1] - z0g.astype(jnp.float32)
     ly = ty[g:g + 1] - y0g.astype(jnp.float32)
     lx = tx[g:g + 1] - xo.astype(jnp.float32)
     ovf = ((lz < 0.0) | (lz > wz - 1.0) | (ly < 0.0) | (ly > wy - 1.0)
-           | (lx < 0.0) | (lx > XW - 1.0))
+           | (lx < 0.0) | (lx > wx - 1.0))
     wzw = jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lz))      # (wz, R)
     wyw = jnp.maximum(0.0, 1.0 - jnp.abs(yrow - ly))      # (wy, R)
     wmat = (
@@ -257,12 +304,12 @@ def _band_sample(brick_ref, iotas, tx, ty, tz, z0g, y0g, xo,
     ).astype(dtype)
     bzo = 0  # brick slice offsets are pre-subtracted by the caller
     del bzo
-    brick2 = brick_ref  # (wz*wy, XW) view prepared by caller
+    brick2 = brick_ref  # (wz*wy, wx) view prepared by caller
     xrows = jax.lax.dot_general(
         brick2, wmat, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=prec)                                    # (XW, R)
-    xw = jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lx))        # (XW, R)
+        precision=prec)                                    # (wx, R)
+    xw = jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lx))        # (wx, R)
     sval = jnp.sum(xrows * xw, axis=0, keepdims=True)
     return sval, ovf, (wmat, xw, lx)
 
@@ -279,63 +326,52 @@ def _tf_onehot(sval_row, brow):
     return oh, in_rng.astype(jnp.float32)
 
 
-def _make_iotas(wz, wy):
+def _make_iotas(wz, wy, wx):
     zrow = jax.lax.broadcasted_iota(jnp.int32, (wz, R), 0).astype(
         jnp.float32)
     yrow = jax.lax.broadcasted_iota(jnp.int32, (wy, R), 0).astype(
         jnp.float32)
-    xrow = jax.lax.broadcasted_iota(jnp.int32, (XW, R), 0).astype(
+    xrow = jax.lax.broadcasted_iota(jnp.int32, (wx, R), 0).astype(
         jnp.float32)
     brow = jax.lax.broadcasted_iota(jnp.int32, (TF_SIZE, R), 0).astype(
         jnp.float32)
     return zrow, yrow, xrow, brow
 
 
-def _brick_dma(vol0_ref, vol1_ref, brick_slot, sem_slot, org, B,
-               bz, by):
+def _brick_dma(vol_refs, brick_slot, sem_slot, org, B, bz, by, wx):
     """DMA descriptor pieces for group B's brick (phase-selected source).
-    Returns (start_fn, wait_fn); both re-derive the descriptor from org."""
+    Returns (start_fn, wait_fn); both re-derive the descriptor from org.
+
+    ``vol_refs`` are the x-phase copies: copy p holds the volume shifted
+    left by ``p * wx//2`` voxels, so every (wx//2)-aligned window origin
+    maps to a 128-aligned offset in exactly one copy.
+    """
+    shift = wx // 2
     bzo = org[0, B, F_BZO]
     byo = pl.multiple_of(org[0, B, F_BYO], 8)
     xo = org[0, B, F_XO]
     ph = org[0, B, F_PH]
-    sx0 = pl.multiple_of(xo, 128)
-    sx1 = pl.multiple_of(xo - 64, 128)
 
-    def mk(src_ref, sx):
+    def mk(p):
+        sx = pl.multiple_of(xo - shift * p, 128)
         return pltpu.make_async_copy(
-            src_ref.at[pl.ds(bzo, bz), pl.ds(byo, by), pl.ds(sx, XW)],
+            vol_refs[p].at[pl.ds(bzo, bz), pl.ds(byo, by),
+                           pl.ds(sx, 128)],
             brick_slot, sem_slot)
 
     def start():
-        @pl.when(ph == 0)
-        def _():
-            mk(vol0_ref, sx0).start()
-
-        @pl.when(ph != 0)
-        def _():
-            mk(vol1_ref, sx1).start()
+        for p in range(len(vol_refs)):
+            @pl.when(ph == p)
+            def _(p=p):
+                mk(p).start()
 
     def wait():
-        @pl.when(ph == 0)
-        def _():
-            mk(vol0_ref, sx0).wait()
-
-        @pl.when(ph != 0)
-        def _():
-            mk(vol1_ref, sx1).wait()
+        for p in range(len(vol_refs)):
+            @pl.when(ph == p)
+            def _(p=p):
+                mk(p).wait()
 
     return start, wait
-
-
-def _fetch_brick(vol0_ref, vol1_ref, brick_ref, sem, org, B, bz, by):
-    """Blocking DMA of the group brick from the phase-selected volume."""
-    start, wait = _brick_dma(
-        vol0_ref, vol1_ref, brick_ref, sem, org, B, bz, by)
-    start()
-    wait()
-    return org[0, B, F_BZO], pl.multiple_of(org[0, B, F_BYO], 8), \
-        org[0, B, F_XO]
 
 
 def _tf_gather(sv8, ovf8, lutl):
@@ -346,48 +382,59 @@ def _tf_gather(sv8, ovf8, lutl):
     — replacing a per-band one-hot matmul (measured 35% of forward time).
     """
     del ovf8
-    svp = jnp.pad(sv8, ((0, 0), (0, 128 - R)))
+    lanes = max(R, 128)
+    svp = (sv8 if R >= 128
+           else jnp.pad(sv8, ((0, 0), (0, 128 - R))))
     s = jnp.clip(svp, 0.0, 1.0)
     tt = jnp.clip(s * TF_SIZE - 0.5, 0.0, TF_SIZE - 1.0)
     lo = tt.astype(jnp.int32)                    # floor for tt >= 0
     hi = jnp.minimum(lo + 1, TF_SIZE - 1)
     fr = tt - lo.astype(jnp.float32)
+    # Mosaic lane gathers cannot span 128-lane vreg tiles: gather each
+    # tile's chunk separately and concatenate (static slices, free).
     cols = []
     for c in range(4):
         lsrc = jnp.broadcast_to(lutl[c:c + 1, :], (G, 128))
-        vlo = jnp.take_along_axis(lsrc, lo, axis=1)
-        vhi = jnp.take_along_axis(lsrc, hi, axis=1)
-        cols.append(vlo * (1.0 - fr) + vhi * fr)
+        parts = []
+        for k in range(lanes // 128):
+            sl = slice(k * 128, (k + 1) * 128)
+            vlo = jnp.take_along_axis(lsrc, lo[:, sl], axis=1)
+            vhi = jnp.take_along_axis(lsrc, hi[:, sl], axis=1)
+            parts.append(vlo * (1.0 - fr[:, sl]) + vhi * fr[:, sl])
+        cols.append(jnp.concatenate(parts, axis=1)
+                    if len(parts) > 1 else parts[0])
     in_rng = ((tt > 0.0) & (tt < TF_SIZE - 1.0)
               & (svp > 0.0) & (svp < 1.0)).astype(jnp.float32)
     return cols, (tt, lo, in_rng)
 
 
 def _fwd_kernel(
-    scal_ref, org_ref, rays_ref, vol0_ref, vol1_ref, tfl_ref, lutl_ref,
+    scal_ref, org_ref, rays_ref, v0_ref, v1_ref, v2_ref, v3_ref,
+    tfl_ref, lutl_ref,
     out_ref,
     brick_ref, sem,
-    *, dims, ray_step, wz, wy, fast,
+    *, dims, ray_step, wz, wy, wx, n_phases, fast, shade=False,
 ):
     del tfl_ref  # forward uses the lane-major LUT
     dtype = jnp.float32
     prec = (jax.lax.Precision.DEFAULT if fast
             else jax.lax.Precision.HIGHEST)
+    vol_refs = [v0_ref, v1_ref, v2_ref, v3_ref][:n_phases]
     rays = rays_ref[0]
     alive0 = rays[8:9]
     thr = scal_ref[0, 0]
-    zrow, yrow, xrow, _ = _make_iotas(wz, wy)
+    zrow, yrow, xrow, _ = _make_iotas(wz, wy, wx)
     lutl = lutl_ref[:]                           # (8, TF_SIZE)
     bz, by = brick_ref.shape[1], brick_ref.shape[2]
     ng_live = org_ref[0, 0, F_NG]
 
     def start_brick(B, slot):
-        _brick_dma(vol0_ref, vol1_ref, brick_ref.at[slot], sem.at[slot],
-                   org_ref, B, bz, by)[0]()
+        _brick_dma(vol_refs, brick_ref.at[slot], sem.at[slot],
+                   org_ref, B, bz, by, wx)[0]()
 
     def wait_brick(B, slot):
-        _brick_dma(vol0_ref, vol1_ref, brick_ref.at[slot], sem.at[slot],
-                   org_ref, B, bz, by)[1]()
+        _brick_dma(vol_refs, brick_ref.at[slot], sem.at[slot],
+                   org_ref, B, bz, by, wx)[1]()
 
     @pl.when(ng_live > 0)
     def _():
@@ -405,30 +452,49 @@ def _fwd_kernel(
         bzo = org_ref[0, B, F_BZO]
         byo = pl.multiple_of(org_ref[0, B, F_BYO], 8)
         xo = org_ref[0, B, F_XO]
-        tx, ty, tz, m_ana = _geometry(rays, B, ray_step, dims)
+        tx, ty, tz, m_ana, pw = _geometry(rays, B, ray_step, dims)
 
-        svals, ovfs = [], []
+        if shade:
+            tx2, ty2, tz2 = _light_coords(pw, scal_ref, dims)
+        svals, ovfs, svals2 = [], [], []
         for g in range(G):
             z0g, y0g = _band_scalars(
                 org_ref, B, g, bzo, byo, bz, by, wz, wy)
             bview = brick_ref[
                 slot, pl.ds(z0g - bzo, wz),
                 pl.ds(pl.multiple_of((y0g - byo) & ~7, 8), wy), :
-            ].reshape(wz * wy, XW)
+            ].reshape(wz * wy, 128)[:, :wx]
             sval, ovf, _ = _band_sample(
                 bview, (zrow, yrow, xrow), tx, ty, tz, z0g, y0g, xo,
-                g, wz, wy, dtype, prec)
+                g, wz, wy, wx, dtype, prec)
             svals.append(sval)
             ovfs.append(ovf.astype(jnp.float32))
+            if shade:
+                sval2, ovf2, _ = _band_sample(
+                    bview, (zrow, yrow, xrow), tx2, ty2, tz2, z0g, y0g,
+                    xo, g, wz, wy, wx, dtype, prec)
+                svals2.append(sval2)
+                ovfs[-1] = ovfs[-1] + ovf2.astype(jnp.float32)
         sv8 = jnp.concatenate(svals, axis=0)     # (G, R)
         ovf8 = jnp.concatenate(ovfs, axis=0)
         (cr8, cg8, cb8, ca8), _ = _tf_gather(sv8, ovf8, lutl)
+        if shade:
+            sv8_2 = jnp.concatenate(svals2, axis=0)
+            kd = scal_ref[0, 1]
+            dshade8 = (sv8_2 - sv8) * kd  # gated per band below
 
         for g in range(G):
             cr = cr8[g:g + 1, :R]
             cg = cg8[g:g + 1, :R]
             cb = cb8[g:g + 1, :R]
             ca = ca8[g:g + 1, :R]
+            if shade:
+                gate = ((ca > SHADE_ALPHA_GATE)
+                        & (scal_ref[0, 1] > SHADE_KD_GATE))
+                dsh = jnp.where(gate, dshade8[g:g + 1, :R], 0.0)
+                cr = cr + dsh
+                cg = cg + dsh
+                cb = cb + dsh
             m = m_ana[g:g + 1] * (1.0 - fin)
             f = m * (1.0 - acca)
             accr = accr + cr * f
@@ -462,23 +528,26 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    scal_ref, org_ref, rays_ref, vol0_ref, vol1_ref, tfl_ref, lutl_ref,
-    g_ref, dv0_in_ref, dv1_in_ref,
-    dv0_ref, dv1_ref, dtf_ref,
+    scal_ref, org_ref, rays_ref, v0_ref, v1_ref, v2_ref, v3_ref,
+    tfl_ref, lutl_ref,
+    g_ref, dv0_in_ref, dv1_in_ref, dv2_in_ref, dv3_in_ref,
+    dv0_ref, dv1_ref, dv2_ref, dv3_ref, dtf_ref,
     brick_ref, sem, acc_ref, rmw_ref, sem2, dtfacc_ref,
-    *, dims, ray_step, wz, wy, fast,
+    *, dims, ray_step, wz, wy, wx, n_phases, fast, shade=False,
 ):
-    del dv0_in_ref, dv1_in_ref  # aliased to dv0_ref/dv1_ref
+    del dv0_in_ref, dv1_in_ref, dv2_in_ref, dv3_in_ref  # aliased
     dtype = jnp.float32
     prec = (jax.lax.Precision.DEFAULT if fast
             else jax.lax.Precision.HIGHEST)
+    vol_refs = [v0_ref, v1_ref, v2_ref, v3_ref][:n_phases]
+    dv_refs = [dv0_ref, dv1_ref, dv2_ref, dv3_ref][:n_phases]
     rays = rays_ref[0]
     alive0 = rays[8:9]
     thr = scal_ref[0, 0]
     gg_ = g_ref[0]
     gr, ggn, gb, ga = gg_[0:1], gg_[1:2], gg_[2:3], gg_[3:4]
     G_total = gg_[4:5]
-    zrow, yrow, xrow, brow = _make_iotas(wz, wy)
+    zrow, yrow, xrow, brow = _make_iotas(wz, wy, wx)
     lut = tfl_ref[:]                             # (TF_SIZE, 8)
     lutl = lutl_ref[:]                           # (8, TF_SIZE) lane-major
     # Lane-major TF slope LUT: slope[i] = (tf[i+1] - tf[i]) * TF_SIZE,
@@ -499,12 +568,12 @@ def _bwd_kernel(
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def start_brick(B, slot):
-        _brick_dma(vol0_ref, vol1_ref, brick_ref.at[slot], sem.at[slot],
-                   org_ref, B, bz, by)[0]()
+        _brick_dma(vol_refs, brick_ref.at[slot], sem.at[slot],
+                   org_ref, B, bz, by, wx)[0]()
 
     def wait_brick(B, slot):
-        _brick_dma(vol0_ref, vol1_ref, brick_ref.at[slot], sem.at[slot],
-                   org_ref, B, bz, by)[1]()
+        _brick_dma(vol_refs, brick_ref.at[slot], sem.at[slot],
+                   org_ref, B, bz, by, wx)[1]()
 
     @pl.when(ng_live > 0)
     def _():
@@ -512,29 +581,27 @@ def _bwd_kernel(
 
     def flush(azo, ayo, axo, aph):
         ayo = pl.multiple_of(ayo, 8)
+        shift = wx // 2
 
         def rmw(dv_ref, sx):
             sx = pl.multiple_of(sx, 128)
             rd = pltpu.make_async_copy(
-                dv_ref.at[pl.ds(azo, az), pl.ds(ayo, ay), pl.ds(sx, XW)],
+                dv_ref.at[pl.ds(azo, az), pl.ds(ayo, ay), pl.ds(sx, 128)],
                 rmw_ref, sem2)
             rd.start()
             rd.wait()
             rmw_ref[...] = rmw_ref[...] + acc_ref[...]
             wr = pltpu.make_async_copy(
                 rmw_ref,
-                dv_ref.at[pl.ds(azo, az), pl.ds(ayo, ay), pl.ds(sx, XW)],
+                dv_ref.at[pl.ds(azo, az), pl.ds(ayo, ay), pl.ds(sx, 128)],
                 sem2)
             wr.start()
             wr.wait()
 
-        @pl.when(aph == 0)
-        def _():
-            rmw(dv0_ref, axo)
-
-        @pl.when(aph != 0)
-        def _():
-            rmw(dv1_ref, axo - 64)
+        for p in range(n_phases):
+            @pl.when(aph == p)
+            def _(p=p):
+                rmw(dv_refs[p], axo - shift * p)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def body(carry):
@@ -563,8 +630,8 @@ def _bwd_kernel(
         def _():
             flush(azo, ayo, axo, aph)
 
-        Dp = vol0_ref.shape[0]
-        Hp = vol0_ref.shape[1]
+        Dp = v0_ref.shape[0]
+        Hp = v0_ref.shape[1]
         nzo = jnp.clip(bzo - (az - bz) // 2, 0, Dp - az)
         nyo = jnp.clip((byo - (ay - by) // 2) & ~7, 0, Hp - ay)
         azo = jnp.where(fits, azo, nzo)
@@ -573,29 +640,47 @@ def _bwd_kernel(
         aph = jnp.where(fits, aph, org_ref[0, B, F_PH])
         have = jnp.int32(1)
 
-        tx, ty, tz, m_ana = _geometry(rays, B, ray_step, dims)
+        tx, ty, tz, m_ana, pw = _geometry(rays, B, ray_step, dims)
 
         # Pass 1: the group's samples (lane-major).
-        svals = []
+        if shade:
+            tx2, ty2, tz2 = _light_coords(pw, scal_ref, dims)
+        svals, svals2 = [], []
         for g in range(G):
             z0g, y0g = _band_scalars(
                 org_ref, B, g, bzo, byo, bz, by, wz, wy)
             bview = brick_ref[
                 slot, pl.ds(z0g - bzo, wz),
                 pl.ds(pl.multiple_of((y0g - byo) & ~7, 8), wy), :
-            ].reshape(wz * wy, XW)
+            ].reshape(wz * wy, 128)[:, :wx]
             sval, _, _ = _band_sample(
                 bview, (zrow, yrow, xrow), tx, ty, tz, z0g, y0g, xo,
-                g, wz, wy, dtype, prec)
+                g, wz, wy, wx, dtype, prec)
             svals.append(sval)
+            if shade:
+                sval2, _, _ = _band_sample(
+                    bview, (zrow, yrow, xrow), tx2, ty2, tz2, z0g, y0g,
+                    xo, g, wz, wy, wx, dtype, prec)
+                svals2.append(sval2)
         sv8 = jnp.concatenate(svals, axis=0)
         (cr8, cg8, cb8, ca8), (tt8, lo8, rng8) = _tf_gather(
             sv8, None, lutl)
-        # Batched slope gathers (replaces the per-band d(one-hot) matmul).
+        # Batched slope gathers (replaces a per-band d(one-hot) matmul).
+        lanes = max(R, 128)
         slopes = []
         for c in range(4):
             ssrc = jnp.broadcast_to(slopel[c:c + 1, :], (G, 128))
-            slopes.append(jnp.take_along_axis(ssrc, lo8, axis=1))
+            parts = [
+                jnp.take_along_axis(
+                    ssrc, lo8[:, k * 128:(k + 1) * 128], axis=1)
+                for k in range(lanes // 128)
+            ]
+            slopes.append(jnp.concatenate(parts, axis=1)
+                          if len(parts) > 1 else parts[0])
+
+        if shade:
+            sv8_2 = jnp.concatenate(svals2, axis=0)
+            kd = scal_ref[0, 1]
 
         # Pass 2: sequential composite + cotangents + gradient matmuls.
         for g in range(G):
@@ -603,6 +688,14 @@ def _bwd_kernel(
             cg = cg8[g:g + 1, :R]
             cb = cb8[g:g + 1, :R]
             ca = ca8[g:g + 1, :R]
+            if shade:
+                gate_f = ((ca > SHADE_ALPHA_GATE)
+                          & (kd > SHADE_KD_GATE)).astype(jnp.float32)
+                dsh = gate_f * (
+                    sv8_2[g:g + 1, :R] - sv8[g:g + 1, :R]) * kd
+                cr = cr + dsh
+                cg = cg + dsh
+                cb = cb + dsh
             m = m_ana[g:g + 1] * (1.0 - fin)
             T = m * (1.0 - acca)
             contrib = (gr * cr + ggn * cg + gb * cb + ga * ca) * T
@@ -632,6 +725,12 @@ def _bwd_kernel(
                 + slopes[2][g:g + 1, :R] * dcb
                 + slopes[3][g:g + 1, :R] * dca
             ) * rng8[g:g + 1, :R]
+            if shade:
+                # diffuse = gate * kd * (s2 - s): the rgb cotangents flow
+                # -kd into this tap's density and +kd into the light tap's.
+                drgb = dcr + dcg + dcb
+                dsval = dsval - gate_f * kd * drgb
+                dsval2 = gate_f * kd * drgb
 
             # Rebuild the band's tap weights for the dBrick transpose.
             z0g, y0g = _band_scalars(
@@ -645,15 +744,32 @@ def _bwd_kernel(
                 wzw[:, None, :], (wz, wy, R)).reshape(wz * wy, R)
                 * pltpu.repeat(wyw, wz, axis=0))
             xw = jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lx))
-            Dx = dsval * xw                          # (XW, R)
+            Dx = dsval * xw                          # (wx, R)
             dbrick = jax.lax.dot_general(
                 wmat, Dx, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=prec)                      # (wz*wy, XW)
+                precision=prec)                      # (wz*wy, wx)
+            if shade:
+                # Second scatter: the light tap's footprint.
+                lz2 = tz2[g:g + 1] - z0g.astype(jnp.float32)
+                ly2 = ty2[g:g + 1] - y0g.astype(jnp.float32)
+                lx2 = tx2[g:g + 1] - xo.astype(jnp.float32)
+                wzw2 = jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lz2))
+                wyw2 = jnp.maximum(0.0, 1.0 - jnp.abs(yrow - ly2))
+                wmat2 = (jnp.broadcast_to(
+                    wzw2[:, None, :], (wz, wy, R)).reshape(wz * wy, R)
+                    * pltpu.repeat(wyw2, wz, axis=0))
+                xw2 = jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lx2))
+                dbrick = dbrick + jax.lax.dot_general(
+                    wmat2, dsval2 * xw2, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec)
+            if wx < 128:
+                dbrick = jnp.pad(dbrick, ((0, 0), (0, 128 - wx)))
             acc_ref[
                 pl.ds(z0g - azo, wz),
                 pl.ds(pl.multiple_of((y0g - ayo) & ~7, 8), wy), :
-            ] += dbrick.reshape(wz, wy, XW)
+            ] += dbrick.reshape(wz, wy, 128)
 
             acca = acca + ca * T
             fin = jnp.maximum(
@@ -696,15 +812,18 @@ def _acc_shape(vol_shape, wz, wy):
     return az, ay
 
 
-def _pallas_fwd(scal, org, rays_t, vol0, vol1, tfl, *, dims, ray_step,
-                window, fast):
+def _pallas_fwd(scal, org, rays_t, vols, tfl, *, dims, ray_step,
+                window, fast, shade=False):
     t = rays_t.shape[0]
     ngr = org.shape[1]
-    wz, wy = window
-    bz, by = _brick_shape(vol0.shape, wz, wy)
+    wz, wy, wx = window
+    n_phases = len(vols)
+    v4 = list(vols) + [vols[0]] * (4 - n_phases)
+    bz, by = _brick_shape(v4[0].shape, wz, wy)
     lutl = jnp.pad(tfl[:, :4].T, ((0, 4), (0, 0)))  # (8, TF_SIZE)
     kernel = functools.partial(
-        _fwd_kernel, dims=dims, ray_step=ray_step, wz=wz, wy=wy, fast=fast)
+        _fwd_kernel, dims=dims, ray_step=ray_step, wz=wz, wy=wy, wx=wx,
+        n_phases=n_phases, fast=fast, shade=shade)
     return pl.pallas_call(
         kernel,
         grid=(t,),
@@ -716,6 +835,8 @@ def _pallas_fwd(scal, org, rays_t, vol0, vol1, tfl, *, dims, ray_step,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -723,25 +844,29 @@ def _pallas_fwd(scal, org, rays_t, vol0, vol1, tfl, *, dims, ray_step,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, 8, R), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, bz, by, XW), vol0.dtype),
+            pltpu.VMEM((2, bz, by, 128), v4[0].dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret_mode(),
-    )(scal, org, rays_t, vol0, vol1, tfl, lutl)
+    )(scal, org, rays_t, *v4, tfl, lutl)
 
 
-def _pallas_bwd(scal, org, rays_t, vol0, vol1, tfl, gG, *, dims, ray_step,
-                window, fast):
+def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
+                window, fast, shade=False):
     t = rays_t.shape[0]
     ngr = org.shape[1]
-    wz, wy = window
-    bz, by = _brick_shape(vol0.shape, wz, wy)
-    az, ay = _acc_shape(vol0.shape, wz, wy)
+    wz, wy, wx = window
+    n_phases = len(vols)
+    v4 = list(vols) + [vols[0]] * (4 - n_phases)
+    bz, by = _brick_shape(v4[0].shape, wz, wy)
+    az, ay = _acc_shape(v4[0].shape, wz, wy)
     lutl = jnp.pad(tfl[:, :4].T, ((0, 4), (0, 0)))  # (8, TF_SIZE)
     kernel = functools.partial(
-        _bwd_kernel, dims=dims, ray_step=ray_step, wz=wz, wy=wy, fast=fast)
-    dv_init = jnp.zeros(vol0.shape, jnp.float32)
-    dv0, dv1, dtf = pl.pallas_call(
+        _bwd_kernel, dims=dims, ray_step=ray_step, wz=wz, wy=wy, wx=wx,
+        n_phases=n_phases, fast=fast, shade=shade)
+    vshape = v4[0].shape
+    dv_inits = [jnp.zeros(vshape, jnp.float32) for _ in range(4)]
+    outs = pl.pallas_call(
         kernel,
         grid=(t,),
         in_specs=[
@@ -752,36 +877,44 @@ def _pallas_bwd(scal, org, rays_t, vol0, vol1, tfl, gG, *, dims, ray_step,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, R), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(tfl.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct(vol0.shape, jnp.float32),
-            jax.ShapeDtypeStruct(vol0.shape, jnp.float32),
+            jax.ShapeDtypeStruct(vshape, jnp.float32),
+            jax.ShapeDtypeStruct(vshape, jnp.float32),
+            jax.ShapeDtypeStruct(vshape, jnp.float32),
+            jax.ShapeDtypeStruct(vshape, jnp.float32),
             jax.ShapeDtypeStruct(tfl.shape, jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, bz, by, XW), vol0.dtype),
+            pltpu.VMEM((2, bz, by, 128), v4[0].dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((az, ay, XW), jnp.float32),
-            pltpu.VMEM((az, ay, XW), jnp.float32),
+            pltpu.VMEM((az, ay, 128), jnp.float32),
+            pltpu.VMEM((az, ay, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM(tfl.shape, jnp.float32),
         ],
-        input_output_aliases={8: 0, 9: 1},
+        input_output_aliases={10: 0, 11: 1, 12: 2, 13: 3},
         interpret=interpret_mode(),
-    )(scal, org, rays_t, vol0, vol1, tfl, lutl, gG, dv_init, dv_init)
-    return dv0, dv1, dtf
+    )(scal, org, rays_t, *v4, tfl, lutl, gG, *dv_inits)
+    return outs[:n_phases], outs[4]
 
 
 def _pack_gG(g, out):
@@ -791,38 +924,40 @@ def _pack_gG(g, out):
         [g[:, :4], gt, jnp.zeros_like(g[:, :3])], axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
-def render_tiles_v3(scal, org, rays_t, vol0, vol1, tfl,
-                    dims, ray_step, window, fast=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def render_tiles_v3(scal, org, rays_t, vols, tfl,
+                    dims, ray_step, window, fast=False, shade=False):
     """Differentiable v3 tile render.
 
     Inputs: ``rays_t (T, C, R)`` lane-major ray tiles, ``org`` planned
-    windows, ``vol0/vol1`` the two x-phase HBM volume copies (f32 or bf16),
+    windows, ``vols`` the tuple of x-phase HBM volume copies,
     ``tfl (TF_SIZE, 8)`` premultiplied TF (cols 0..3).
     Output ``(T, 8, R)``: rows 0..3 premultiplied RGBA, row 4 per-ray
-    window-overflow count. Differentiable w.r.t. vol0/vol1/tfl.
+    window-overflow count. Differentiable w.r.t. vols/tfl.
     """
     return _pallas_fwd(
-        scal, org, rays_t, vol0, vol1, tfl,
-        dims=dims, ray_step=ray_step, window=window, fast=fast)
+        scal, org, rays_t, vols, tfl,
+        dims=dims, ray_step=ray_step, window=window, fast=fast,
+        shade=shade)
 
 
-def _fwd_rule(scal, org, rays_t, vol0, vol1, tfl, dims, ray_step, window,
-              fast=False):
+def _fwd_rule(scal, org, rays_t, vols, tfl, dims, ray_step, window,
+              fast=False, shade=False):
     out = _pallas_fwd(
-        scal, org, rays_t, vol0, vol1, tfl,
-        dims=dims, ray_step=ray_step, window=window, fast=fast)
-    return out, (scal, org, rays_t, vol0, vol1, tfl, out)
+        scal, org, rays_t, vols, tfl,
+        dims=dims, ray_step=ray_step, window=window, fast=fast,
+        shade=shade)
+    return out, (scal, org, rays_t, vols, tfl, out)
 
 
-def _bwd_rule(dims, ray_step, window, fast, res, g):
-    scal, org, rays_t, vol0, vol1, tfl, out = res
-    dv0, dv1, dtf = _pallas_bwd(
-        scal, org, rays_t, vol0, vol1, tfl, _pack_gG(g, out),
-        dims=dims, ray_step=ray_step, window=window, fast=fast)
+def _bwd_rule(dims, ray_step, window, fast, shade, res, g):
+    scal, org, rays_t, vols, tfl, out = res
+    dvs, dtf = _pallas_bwd(
+        scal, org, rays_t, vols, tfl, _pack_gG(g, out),
+        dims=dims, ray_step=ray_step, window=window, fast=fast,
+        shade=shade)
     return (jnp.zeros_like(scal), jnp.zeros_like(org),
-            jnp.zeros_like(rays_t), dv0.astype(vol0.dtype),
-            dv1.astype(vol1.dtype), dtf)
+            jnp.zeros_like(rays_t), tuple(dvs), dtf)
 
 
 render_tiles_v3.defvjp(_fwd_rule, _bwd_rule)
@@ -833,41 +968,50 @@ render_tiles_v3.defvjp(_fwd_rule, _bwd_rule)
 # ---------------------------------------------------------------------------
 
 
-def _phase_volumes(density, fast):
-    """Pad the density grid and build the two 64-voxel x-phase copies."""
+def _phase_volumes(density, wx):
+    """Pad the density grid and build the x-phase copies: copy p is the
+    volume shifted left by ``p * wx//2`` voxels, so every
+    (wx//2)-aligned window origin is 128-aligned in one copy."""
     d, h, w = density.shape
+    shift = wx // 2
     dp = -(-d // 8) * 8
     hp = -(-h // 8) * 8
-    xp = max(XW, -(-w // 64) * 64)
+    # DMA fetches are always a full 128 lanes (Mosaic slice-width
+    # constraint), so copies carry a 128-XW tail beyond the last window
+    # origin even when the compute window wx is narrower.
+    xp = max(128, -(-w // shift) * shift + (128 - wx))
     pad = jnp.pad(density, ((0, dp - d), (0, hp - h), (0, xp - w)))
-    v0 = pad
-    if xp > XW:
-        v1 = jnp.pad(pad[:, :, 64:], ((0, 0), (0, 0), (0, 64)))
-    else:
-        v1 = pad
-    del fast  # storage stays f32; `fast` selects matmul precision only
-    return v0, v1
+    if xp <= wx:
+        return (pad,)
+    n_ph = 128 // shift
+    vols = [pad]
+    for p in range(1, n_ph):
+        s = shift * p
+        vols.append(
+            jnp.pad(pad[:, :, s:], ((0, 0), (0, 0), (0, s))))
+    return tuple(vols)
 
 
 def render_image_v3(scene, view, ray_threshold=0.95,
-                    window=None, fast=False, esl=False):
+                    window=None, fast=False, esl=False,
+                    light_kd=0.0, shaded=False):
     """Differentiable render -> ``f32[H, W, 4]`` via the v3 kernels.
 
-    Semantics match diff.render.render_diff_image (including ``esl``);
-    gradients flow to ``scene.density`` and ``scene.tf_base``.
+    Semantics match diff.render.render_diff_image (including ``esl`` and
+    the ``shaded`` diffuse light tap); gradients flow to
+    ``scene.density`` and ``scene.tf_base``.
     """
     return render_image_v3_with_ovf(
-        scene, view, ray_threshold, window, fast, esl)[0]
+        scene, view, ray_threshold, window, fast, esl,
+        light_kd, shaded)[0]
 
 
 def render_image_v3_with_ovf(scene, view, ray_threshold=0.95,
-                             window=None, fast=False, esl=False):
+                             window=None, fast=False, esl=False,
+                             light_kd=0.0, shaded=False):
     """As render_image_v3 but also returns the total overflow count."""
     d, h, w = scene.density.shape
     dims = (w, h, d)
-    wv, hv = view.dims
-    if window is None:
-        window = default_window(dims, view.dims, view.perspective)
     esl_fn = None
     if esl:
         from volrt.diff.render import scene_empty_grid
@@ -877,28 +1021,62 @@ def render_image_v3_with_ovf(scene, view, ray_threshold=0.95,
         esl_fn = (lambda o, dvec, kn, kf, hit: esl_start_raw(
             empty, dims, block, bs, scene.ray_step,
             o, dvec, kn, kf, hit))
-    tiles = layout.prepare_ray_tiles_raw(
-        view, scene.ray_step, esl_fn, tile_w=TILE, tile_h=TILE)
-    rays_t = jnp.swapaxes(tiles, 1, 2)  # (T, C, R)
-    scal = jnp.concatenate([
-        jnp.asarray(ray_threshold, jnp.float32).reshape(1),
-        jnp.zeros(7, jnp.float32)]).reshape(1, 8)
-
-    # Phase copies participate in autodiff: the vjp returns per-phase
-    # cotangents that recombine through these XLA ops automatically.
-    v0, v1 = _phase_volumes(scene.density, fast)
-    bz, by = _brick_shape(v0.shape, *window)
-    org = plan_windows(
-        tiles, dims, v0.shape, scene.ray_step, window[0], window[1],
-        bz, by)
     premult = jnp.concatenate(
         [scene.tf_base[:, :3] * scene.tf_base[:, 3:4],
          scene.tf_base[:, 3:4]], axis=-1)
-    tfl = jnp.pad(premult, ((0, 0), (0, 4)))
+    return render_view_v3(
+        scene.density, premult, scene.ray_step, view,
+        ray_threshold=ray_threshold, window=window, fast=fast,
+        esl_fn=esl_fn, light_kd=light_kd, shaded=shaded)
+
+
+def render_view_v3(density, premult_tf, ray_step, view,
+                   ray_threshold=0.95, window=None, fast=False,
+                   esl_fn=None, light_kd=0.0, shaded=False):
+    """Premult-level v3 render -> (f32[H, W, 4], overflow count).
+
+    ``density`` is the float grid (D, H, W); ``premult_tf`` the
+    premultiplied RGBA LUT (TF_SIZE, 4). Used by the scene-level diff API
+    and the forward renderer-ladder rung (which has a uint8 Raycaster
+    instead of a DiffScene). Differentiable w.r.t. density/premult_tf.
+    """
+    d, h, w = density.shape
+    dims = (w, h, d)
+    wv, hv = view.dims
+    if window is None:
+        window = default_window(dims, view.dims, view.perspective)
+        if shaded:
+            # The light tap samples SHADE_LIGHT_OFFSET world units away:
+            # widen the window by its voxel extent (clamped to the padded
+            # volume, like default_window).
+            off = int(0.01 * 0.5 * max(dims)) + 2
+            window = (
+                min(window[0] + off, -(-dims[2] // 8) * 8),
+                min(-(-(window[1] + off) // 8) * 8,
+                    -(-dims[1] // 8) * 8),
+                window[2])
+    window = _norm_window(window)
+    tiles = layout.prepare_ray_tiles_raw(
+        view, ray_step, esl_fn, tile_w=TILE, tile_h=TILE)
+    rays_t = jnp.swapaxes(tiles, 1, 2)  # (T, C, R)
+    lp = view.light_pos.astype(jnp.float32).reshape(3)
+    scal = jnp.concatenate([
+        jnp.asarray(ray_threshold, jnp.float32).reshape(1),
+        jnp.asarray(light_kd, jnp.float32).reshape(1),
+        lp, jnp.zeros(3, jnp.float32)]).reshape(1, 8)
+
+    # Phase copies participate in autodiff: the vjp returns per-phase
+    # cotangents that recombine through these XLA ops automatically.
+    vols = _phase_volumes(density, window[2])
+    bz, by = _brick_shape(vols[0].shape, window[0], window[1])
+    org = plan_windows(
+        tiles, dims, vols[0].shape, ray_step, window[0], window[1],
+        bz, by, wx=window[2], view_dims=view.dims)
+    tfl = jnp.pad(premult_tf, ((0, 0), (0, 4)))
 
     out = render_tiles_v3(
-        scal, org, rays_t, v0, v1, tfl, dims, scene.ray_step,
-        tuple(window), fast)
+        scal, org, rays_t, vols, tfl, dims, ray_step,
+        window, fast, bool(shaded))
     colors = jnp.swapaxes(out[:, :4, :], 1, 2)    # (T, R, 4)
     img = layout.untile_rays(colors, wv, hv, tile_w=TILE, tile_h=TILE)
     return img, jnp.sum(out[:, 4, :])

@@ -1,0 +1,57 @@
+"""Renderer 5 — lane-major planned-window forward kernel (v3, unshaded).
+
+The renderer-ladder rung built on the v3 kernel generation (see diff_v3's
+module docstring): same trilinear + linearly-interpolated-TF semantics as
+rung 4 (reference: GPURenderer4.cu:53-87) minus the diffuse light tap, at
+~5x rung-4 throughput. Use when ``light_kd == 0`` (the reference's shade()
+contributes nothing then, RaycasterBase.h:87-98); the shaded path stays on
+rungs 3/4.
+
+ESL feeds the same per-ray leading-leap offsets as the other rungs; ERT is
+exact reference semantics (acca > threshold latch per ray).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from volrt.core import sampling
+from volrt.core.types import Raycaster
+from volrt.renderers.pallas.diff_v3 import render_view_v3
+
+NAME = "pallas-v3"
+
+
+@functools.partial(jax.jit, static_argnames=("window", "fast"))
+def render_float(
+    rc: Raycaster,
+    window: tuple[int, int] | tuple[int, int, int] | None = None,
+    fast: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Render to ``(f32[H, W, 4] image, f32[] overflow_count)``.
+
+    The diffuse shading tap is not applied (valid when ``light_kd == 0``).
+    """
+    if rc.interpolation != "trilinear":
+        raise ValueError("pallas-v3 renders trilinear mode only")
+    esl_fn = None
+    if rc.esl:
+        from volrt.renderers.batched import esl_start_raw
+
+        esl_fn = (lambda o, d, kn, kf, hit: esl_start_raw(
+            rc.esl_empty, rc.volume.dims, rc.esl_block_dims,
+            rc.esl_block_size, rc.ray_step, o, d, kn, kf, hit))
+    density = rc.volume.data.astype(jnp.float32) / 255.0
+    img, ovf = render_view_v3(
+        density, rc.transfer_fn.astype(jnp.float32), rc.ray_step,
+        rc.view, ray_threshold=rc.ray_threshold, window=window,
+        fast=fast, esl_fn=esl_fn)
+    return img, ovf
+
+
+def render(rc: Raycaster) -> jax.Array:
+    """Render to ``uint8[H, W, 4]``."""
+    img, _ = render_float(rc)
+    return sampling.write_color(img)
