@@ -30,7 +30,7 @@ def main() -> int:
     # Static per-view window for the axis-aligned headline pose (validated
     # overflow-free on hardware; see diff_v3.default_window for the
     # general-view derivation).
-    window = (10, 16, 64) if backend != "cpu" else None
+    window = (16, 24, 128) if backend != "cpu" else None
     m = bench_diff_step(
         volume_size=size, viewport=viewport, iters=iters, window=window)
     print(json.dumps({

@@ -195,18 +195,6 @@ class TestModes:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-2)
 
 
-class TestTrilinearV2:
-    def test_parity_with_v1(self):
-        from volrt.renderers.pallas import trilinear
-
-        rc = make_rc(interp="trilinear", kd=0.0)
-        a, _ = trilinear.render_float(rc, shade=False)
-        b = trilinear.render_float_v2(rc)
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=1e-6
-        )
-
-
 class TestFwdV3Rung:
     def test_matches_unshaded_trilinear_rung(self):
         """Rung 5 (pallas-v3) matches rung 3's shade=False render."""

@@ -355,213 +355,7 @@ def render(rc: Raycaster) -> jax.Array:
     return sampling.write_color(img)
 
 
-# ---------------------------------------------------------------------------
-# v2 kernel: compact per-ray state
-# ---------------------------------------------------------------------------
-#
-# The v1 kernel keeps every per-ray scalar as a (256, 1) value — 32 vregs
-# with 1/128 lane utilization — through ~50 VPU ops per band (measured ~50%
-# of kernel time). v2 keeps geometry/tap-weights row-major (the matmul needs
-# ray-major rows) but reshapes the sampled value to a compact (2, 128)
-# layout once per band and runs the TF lookup (as lane gathers over a
-# lane-major LUT) and the whole compositing/ERT chain compact. Row-major
-# masks keep only the analytic part (started & k <= kfar); ERT lives purely
-# on the compact side — terminated rays still compute samples but composite
-# nothing, which is bitwise-identical output.
-
-
-def _kernel_v2(
-    scal_ref,   # SMEM (1, 8)
-    rays_ref,   # VMEM (1, R, 16)
-    raysc_ref,  # VMEM (1, 8, 128): compact k0/kfar/alive0/j0 (2 rows each)
-    vol_ref,    # VMEM (D, H, Xpad) f32
-    tfl_ref,    # VMEM (8, 128): rows 0..3 premult RGBA, entries on lanes
-    out_ref,    # VMEM (1, 8, 128): channels x compact rows
-    *,
-    dims: tuple[int, int, int],
-    ray_step: float,
-    n_steps: int,
-    wz: int,
-    wy: int,
-    fast: bool = False,
-):
-    w, h, d = dims
-    xpad = vol_ref.shape[2]
-    rays = rays_ref[0]
-    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
-    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
-    k0, kfar = rays[:, 6:7], rays[:, 7:8]
-    alive0 = rays[:, 8:9]
-    j0 = rays[:, 9:10]
-    raysc = raysc_ref[0]
-    kfar_c = raysc[2:4]
-    alive0_c = raysc[4:6]
-    j0_c = raysc[6:8]
-    thr = scal_ref[0, 0]
-
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, wz * wy), 1)
-    tf_lut = tfl_ref[:]  # (8, 128)
-
-    prec = (jax.lax.Precision.DEFAULT if fast
-            else jax.lax.Precision.HIGHEST)
-
-    def body(carry):
-        i, k, kc, accr, accg, accb, acca, fin = carry
-        # --- row-major geometry (analytic masks only) ---
-        n = i.astype(jnp.float32) - j0
-        started = (n >= 0.0).astype(jnp.float32)
-        arow = alive0 * started * (k <= kfar).astype(jnp.float32)
-        px, py, pz = ox + dx * k, oy + dy * k, oz + dz * k
-
-        tx = (px + 1.0) * 0.5 * w - 0.5
-        ty = (py + 1.0) * 0.5 * h - 0.5
-        tz = (pz + 1.0) * 0.5 * d - 0.5
-        fx0, fy0, fz0 = jnp.floor(tx), jnp.floor(ty), jnp.floor(tz)
-        ix0 = fx0.astype(jnp.int32)
-        iy0 = fy0.astype(jnp.int32)
-        iz0 = fz0.astype(jnp.int32)
-        fx, fy, fz = tx - fx0, ty - fy0, tz - fz0
-
-        big = jnp.int32(1 << 20)
-        amask = arow > 0.0
-        z0 = jnp.clip(jnp.min(jnp.where(amask, iz0, big)) - MARGIN,
-                      0, vol_ref.shape[0] - wz)
-        y0 = jnp.clip(jnp.min(jnp.where(amask, iy0, big)) - MARGIN,
-                      0, vol_ref.shape[1] - wy)
-        brick = vol_ref[pl.ds(z0, wz), pl.ds(y0, wy), :].reshape(
-            wz * wy, xpad
-        )
-
-        ix0c = jnp.clip(ix0, 0, w - 1)
-        ix1c = jnp.clip(ix0 + 1, 0, w - 1)
-        iy0c = jnp.clip(iy0, 0, h - 1)
-        iy1c = jnp.clip(iy0 + 1, 0, h - 1)
-        iz0c = jnp.clip(iz0, 0, d - 1)
-        iz1c = jnp.clip(iz0 + 1, 0, d - 1)
-        lz0 = jnp.clip(iz0c - z0, 0, wz - 1)
-        lz1 = jnp.clip(iz1c - z0, 0, wz - 1)
-        ly0 = jnp.clip(iy0c - y0, 0, wy - 1)
-        ly1 = jnp.clip(iy1c - y0, 0, wy - 1)
-        wmat = (
-            (row_iota == lz0 * wy + ly0) * ((1.0 - fz) * (1.0 - fy))
-            + (row_iota == lz0 * wy + ly1) * ((1.0 - fz) * fy)
-            + (row_iota == lz1 * wy + ly0) * (fz * (1.0 - fy))
-            + (row_iota == lz1 * wy + ly1) * (fz * fy)
-        ).astype(jnp.float32) * arow
-        xrows = jax.lax.dot_general(
-            wmat, brick, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
-        g0 = jnp.take_along_axis(
-            xrows, jnp.broadcast_to(ix0c, (R, xpad)), axis=1)[:, 0:1]
-        g1 = jnp.take_along_axis(
-            xrows, jnp.broadcast_to(ix1c, (R, xpad)), axis=1)[:, 0:1]
-        # uint8-valued volume -> normalized sample (reference tex semantics).
-        sval_row = (g0 * (1.0 - fx) + g1 * fx) / 255.0
-
-        # --- compact side: TF lookup + compositing ---
-        sval = sval_row.reshape(2, 128)
-        tt = sval * TF_SIZE - 0.5
-        ti0 = jnp.floor(tt)
-        tfr = tt - ti0
-        ti0 = ti0.astype(jnp.int32)
-        tlo = jnp.clip(ti0, 0, TF_SIZE - 1)
-        thi = jnp.clip(ti0 + 1, 0, TF_SIZE - 1)
-
-        def tf_chan(c):
-            src = jnp.broadcast_to(tf_lut[c:c + 1, :], (2, 128))
-            vlo = jnp.take_along_axis(src, tlo, axis=1)
-            vhi = jnp.take_along_axis(src, thi, axis=1)
-            return vlo * (1.0 - tfr) + vhi * tfr
-
-        cr, cg, cb, ca = tf_chan(0), tf_chan(1), tf_chan(2), tf_chan(3)
-
-        nc = i.astype(jnp.float32) - j0_c
-        started_c = (nc >= 0.0).astype(jnp.float32)
-        alive_c = alive0_c * started_c * (1.0 - fin)
-        f = alive_c * (1.0 - acca)
-        accr = accr + cr * f
-        accg = accg + cg * f
-        accb = accb + cb * f
-        acca = acca + ca * f
-
-        k_next = jnp.where(started > 0.0, k + ray_step, k)
-        kc_next = jnp.where(started_c > 0.0, kc + ray_step, kc)
-        done = started_c * alive0_c * (
-            (acca > thr) | (kc_next > kfar_c)
-        ).astype(jnp.float32)
-        fin = jnp.maximum(fin, done)
-        return i + 1, k_next, kc_next, accr, accg, accb, acca, fin
-
-    def cond(carry):
-        i, fin = carry[0], carry[7]
-        return (i < n_steps) & jnp.any(alive0_c * (1.0 - fin) > 0.0)
-
-    zc = jnp.zeros((2, 128), jnp.float32)
-    k0_c = raysc[0:2]
-    init = (0, k0, k0_c, zc, zc, zc, zc, 1.0 - alive0_c)
-    _, _, _, accr, accg, accb, acca, _ = jax.lax.while_loop(
-        cond, body, init
-    )
-    out_ref[0] = jnp.concatenate([accr, accg, accb, acca], axis=0)
-
-
-def _compact_rays(rays: jax.Array) -> jax.Array:
-    """Per-tile compact ray inputs ``(T, 8, 128)``: k0, kfar, alive0, j0
-    each as 2 sublane rows of 128 lanes."""
-    t = rays.shape[0]
-    chans = [layout.CH_K0, layout.CH_KFAR, layout.CH_ALIVE, layout.CH_J0]
-    parts = [rays[:, :, c].reshape(t, 2, 128) for c in chans]
-    return jnp.concatenate(parts, axis=1)
-
-
-def _tf_lanes(premult_tf_padded: jax.Array) -> jax.Array:
-    """TF LUT with entries on lanes: ``(8, 128)``, rows 0..3 = RGBA."""
-    return jnp.pad(premult_tf_padded[:, :4].T, ((0, 4), (0, 0)))
-
-
-def render_float_v2(
-    rc: Raycaster,
-    window: tuple[int, int] | None = None,
-    fast: bool = False,
-) -> jax.Array:
-    """v2 compact-state render (no shading tap, no overflow output):
-    ``f32[H, W, 4]``. Valid when ``light_kd == 0``."""
-    w, h = rc.view.dims
-    rays = layout.prepare_ray_tiles(rc)
-    vol3d = pad_volume_3d(rc.volume)
-    tfp = pad_tf(rc.transfer_fn)
-    scal = scalars_array(rc)
-    if window is None:
-        window = default_window(rc)
-    wz, wy = window
-    t = rays.shape[0]
-    kernel = functools.partial(
-        _kernel_v2, dims=rc.volume.dims, ray_step=rc.ray_step,
-        n_steps=layout.max_bands(rc.ray_step), wz=wz, wy=wy, fast=fast,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(t,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, R, layout.N_CHANNELS), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, 8, 128), jnp.float32),
-        interpret=interpret_mode(),
-    )(scal, rays, _compact_rays(rays), vol3d, _tf_lanes(tfp))
-    # (T, 4ch x 2rows, 128) -> (T, R, 4)
-    tiles = out.reshape(t, 4, R).transpose(0, 2, 1)
-    return layout.untile_rays(tiles, w, h)
-
-
-render_float_v2 = functools.partial(
-    jax.jit, static_argnames=("window", "fast")
-)(render_float_v2)
+# The round-1 "v2" compact-state kernel that lived here is superseded by
+# the lane-major v3 generation (volrt/renderers/pallas/diff_v3.py +
+# fwd_v3.py, renderer id 5), which holds *all* per-ray state lane-major
+# rather than only the compositing chain.
