@@ -146,3 +146,48 @@ class TestCLIExtras:
             "--tf", path, "-o", out, "--log", str(tmp_path / "v.log"),
         )
         assert r.returncode == 0, r.stderr
+
+
+class TestProfilerMFU:
+    def test_mfu_and_model_flops(self):
+        """MFU derivation: model FLOPs of the windowed gather march vs the
+        chip peak table (reference Profiler reports only ms)."""
+        from volrt.utils.profiler import (
+            chip_peak_flops, mfu, windowed_kernel_flops)
+
+        flops = windowed_kernel_flops(
+            n_rays=1024 * 1024, n_steps=256, window_rows=16 * 24,
+            x_width=128)
+        assert flops == 1024 * 1024 * 256 * 2.0 * 16 * 24 * 128
+        bwd = windowed_kernel_flops(
+            n_rays=4, n_steps=2, window_rows=8, x_width=128, backward=True)
+        assert bwd == 3.0 * windowed_kernel_flops(
+            n_rays=4, n_steps=2, window_rows=8, x_width=128)
+        # mfu is a ratio in [0, 1]-ish when the peak table knows the chip;
+        # 0.0 on unknown chips (CPU test runs).
+        u = mfu(ms=1000.0, model_flops=flops)
+        peak = chip_peak_flops()
+        if peak:
+            assert 0.0 < u < 1.5
+        else:
+            assert u == 0.0
+
+
+class TestBenchFileConfig:
+    def test_pvm_file_driven_config(self, tmp_path):
+        """bench -f <pvm>: file-driven dataset configs (the reference
+        loads seven named PVM datasets, VolR.cpp:255-268)."""
+        import numpy as np
+
+        from tests.conftest import synthetic_volume
+        from volrt.bench.harness import default_suite, run_suite
+        from volrt.io.pvm import write_pvm
+
+        path = str(tmp_path / "tiny.pvm")
+        write_pvm(path, synthetic_volume(8))
+        cfgs = [c for c in default_suite(small=True, files=[path])
+                if c.file]
+        assert cfgs and cfgs[0].name == "tiny"
+        cfgs[0].viewport = 16
+        prof = run_suite(configs=cfgs, renderers=(1,), frames=2)
+        assert "tiny" in prof.stats

@@ -187,3 +187,26 @@ class TestVolumeSharded:
         g = jax.grad(loss)(scene)
         assert np.isfinite(np.asarray(g.density)).all()
         assert float(jnp.linalg.norm(g.density)) > 0
+
+
+@needs_devices
+class TestVolumeShardedPallas:
+    def test_pallas_backend_matches_xla(self):
+        """The per-slab segment march routed through the v3 forward kernel
+        matches both the XLA slab backend and the unsharded reference,
+        with cross-slab ERT enabled."""
+        from volrt.core.tf import default_transfer_fn
+        from volrt.diff.render import render_diff_image, scene_from_volume
+        from volrt.dist.volume_sharded import render_volume_sharded
+
+        vol = np.full((16, 16, 16), 160, np.uint8)
+        scene = scene_from_volume(
+            jnp.asarray(vol), default_transfer_fn(), 0.15)
+        cam = Camera(dims=(32, 32))
+        cam.set_camera_position((25.0, 10.0, 0.0))
+        view = cam.view()
+        mesh = make_mesh()
+        ref = np.asarray(render_diff_image(scene, view, ray_threshold=0.7))
+        out = np.asarray(render_volume_sharded(
+            scene, view, mesh, ray_threshold=0.7, backend="pallas"))
+        np.testing.assert_allclose(ref, out, atol=2e-4)

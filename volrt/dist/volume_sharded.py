@@ -248,12 +248,16 @@ def render_volume_sharded(
     ray_threshold: float = 0.95,
     front_to_back: bool | None = None,
     slabs: jax.Array | None = None,
+    backend: str = "xla",
 ) -> jax.Array:
     """Render with the volume Z-slab-sharded across ``mesh`` ->
     ``f32[H, W, 4]``. Differentiable w.r.t. the scene (pure XLA).
 
     ``ray_threshold`` is the ERT threshold, honored *across* slab
-    boundaries (pass 2.0 to disable). ``front_to_back`` is the slab march
+    boundaries (pass 2.0 to disable). ``backend="pallas"`` routes each
+    slab's segment march through the v3 forward kernel
+    (renderers/pallas/diff_v3.render_slab_v3) — the fast path for
+    rendering; it is forward-only (training stays on the XLA backend). ``front_to_back`` is the slab march
     order (device 0's slab first); when None it is derived from the view's
     z direction, which requires a concrete (non-traced) view — under an
     outer jit pass it explicitly (it selects the static ppermute
@@ -269,12 +273,12 @@ def render_volume_sharded(
                 "traced (it selects the static ppermute schedule)") from e
     return _render_volume_sharded(
         scene, view, mesh, jnp.float32(ray_threshold),
-        bool(front_to_back), slabs)
+        bool(front_to_back), slabs, backend)
 
 
-@partial(jax.jit, static_argnames=("mesh", "front_to_back"))
+@partial(jax.jit, static_argnames=("mesh", "front_to_back", "backend"))
 def _render_volume_sharded(scene, view, mesh, ray_threshold,
-                           front_to_back, slabs):
+                           front_to_back, slabs, backend="xla"):
     n = mesh.devices.size
     d = scene.density.shape[0]
     slab = d // n
@@ -286,17 +290,32 @@ def _render_volume_sharded(scene, view, mesh, ray_threshold,
     def per_device(slab_block, tfb):
         pos = jax.lax.axis_index(RAY_AXIS)
         z_start = pos * slab
-        # Pass 1: slab opacity.
-        a_i = _slab_march(
-            slab_block[0], z_start, d, tfb, ray_step, view,
-            ray_threshold=2.0, alpha_only=True)[..., 3]
-        # Pass 2: upstream opacity entering this slab.
-        p_i = _opacity_exclusive_scan(a_i, n, reverse)
-        # Pass 3: full march seeded at the upstream opacity; the delta is
-        # this slab's globally-scaled contribution.
-        acc = _slab_march(
-            slab_block[0], z_start, d, tfb, ray_step, view,
-            ray_threshold=ray_threshold, acc0_alpha=p_i)
+        premult = jnp.concatenate(
+            [tfb[:, :3] * tfb[:, 3:4], tfb[:, 3:4]], axis=-1)
+        if backend == "pallas":
+            from volrt.renderers.pallas.diff_v3 import render_slab_v3
+
+            density = slab_block[0].astype(jnp.float32)
+            # Pass 1: slab opacity (unseeded march, ERT off).
+            a_i = render_slab_v3(
+                density, premult, ray_step, view, z_start, d,
+                ray_threshold=2.0)[0][..., 3]
+            p_i = _opacity_exclusive_scan(a_i, n, reverse)
+            acc = render_slab_v3(
+                density, premult, ray_step, view, z_start, d,
+                ray_threshold=ray_threshold, acc0=p_i)[0]
+        else:
+            # Pass 1: slab opacity.
+            a_i = _slab_march(
+                slab_block[0], z_start, d, tfb, ray_step, view,
+                ray_threshold=2.0, alpha_only=True)[..., 3]
+            # Pass 2: upstream opacity entering this slab.
+            p_i = _opacity_exclusive_scan(a_i, n, reverse)
+            # Pass 3: full march seeded at the upstream opacity; the
+            # delta is this slab's globally-scaled contribution.
+            acc = _slab_march(
+                slab_block[0], z_start, d, tfb, ray_step, view,
+                ray_threshold=ray_threshold, acc0_alpha=p_i)
         seg = acc - jnp.concatenate(
             [jnp.zeros_like(acc[..., :3]), p_i[..., None]], axis=-1)
         # Pass 4: commutative reduction of pre-scaled segments.

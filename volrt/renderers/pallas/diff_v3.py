@@ -54,6 +54,7 @@ from volrt.constants import SHADE_ALPHA_GATE, SHADE_KD_GATE, TF_SIZE
 from volrt.renderers.pallas import layout
 from volrt.renderers.pallas.common import X_LANES, interpret_mode
 
+CH_ACC0 = 10      # packed-ray channel: initial accumulated opacity
 TILE = 16         # 16x16 ray tiles
 R = TILE * TILE   # rays per tile (lane dimension)
 G = 8             # march bands per group (brick/geometry amortization)
@@ -79,6 +80,10 @@ def default_window(dims, view_dims, perspective=False):
     span = TILE * step_px * 0.5 * n + 1.0  # footprint + in-band k spread
     if perspective:
         span *= 2.0
+    # At 45-degree orbit poses ~3e-6 of samples graze the window's
+    # line-interp bound and contribute zero (counted in the overflow
+    # output; the CLI warns and --strict-overflow fails). Widening the
+    # window costs ~14% — detection over padding is the chosen trade.
     wz = int(math.ceil(span)) + 1 + 2 * MARGIN + 4
     wy = wz + 8  # y-origin 8-alignment slack
     # Never exceed the (padded) volume extent: the brick must contain the
@@ -125,7 +130,7 @@ ORG_C = 16  # padded field count
 
 
 def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by,
-                 wx=128, view_dims=None):
+                 wx=128, view_dims=None, z_off=None):
     """Fit per-(tile, group) window-origin lines from the ray bundle.
 
     For straight rays the per-band footprint minimum is (near-)linear in
@@ -164,6 +169,9 @@ def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by,
             kk = phi + bcl * step
             for o_c, d_c, n_c in ((oz, dz, d), (oy, dy, h), (ox, dx, w)):
                 t = (o_c + d_c * kk + 1.0) * (0.5 * n_c) - 0.5
+                if o_c is oz and z_off is not None:
+                    # Z-slab mode: windows address slab-local rows.
+                    t = jnp.clip(t - z_off, 0.0, Dp - 1.0)
                 outs.append(jnp.min(jnp.where(act, t, _INF), axis=1))
             tx_ = (ox + dx * kk + 1.0) * (0.5 * w) - 0.5
             outs.append(jnp.max(jnp.where(act, tx_, -_INF), axis=1))
@@ -236,8 +244,13 @@ def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by,
 # ---------------------------------------------------------------------------
 
 
-def _geometry(rays, B, step, dims):
-    """Per-group (G, R) sample coordinates + analytic masks."""
+def _geometry(rays, B, step, dims, z_off=None, local_d=None):
+    """Per-group (G, R) sample coordinates + analytic masks.
+
+    ``z_off``/``local_d`` remap the global z coordinate into a Z-slab's
+    local rows (volume-sharded mode): local = clip(global) - z_off,
+    clipped to the slab (the one-voxel halo keeps interior taps exact).
+    """
     w, h, d = dims
     ox, oy, oz = rays[0:1], rays[1:2], rays[2:3]
     dx, dy, dz = rays[3:4], rays[4:5], rays[5:6]
@@ -254,6 +267,8 @@ def _geometry(rays, B, step, dims):
     tx = jnp.clip((px + 1.0) * (0.5 * w) - 0.5, 0.0, w - 1.0)
     ty = jnp.clip((py + 1.0) * (0.5 * h) - 0.5, 0.0, h - 1.0)
     tz = jnp.clip((pz + 1.0) * (0.5 * d) - 0.5, 0.0, d - 1.0)
+    if z_off is not None:
+        tz = jnp.clip(tz - z_off, 0.0, local_d - 1.0)
     return tx, ty, tz, m_ana, (px, py, pz)
 
 
@@ -414,6 +429,7 @@ def _fwd_kernel(
     out_ref,
     brick_ref, sem,
     *, dims, ray_step, wz, wy, wx, n_phases, fast, shade=False,
+    slab=False,
 ):
     del tfl_ref  # forward uses the lane-major LUT
     dtype = jnp.float32
@@ -426,6 +442,7 @@ def _fwd_kernel(
     zrow, yrow, xrow, _ = _make_iotas(wz, wy, wx)
     lutl = lutl_ref[:]                           # (8, TF_SIZE)
     bz, by = brick_ref.shape[1], brick_ref.shape[2]
+    vref_d = float(v0_ref.shape[0])
     ng_live = org_ref[0, 0, F_NG]
 
     def start_brick(B, slot):
@@ -452,7 +469,9 @@ def _fwd_kernel(
         bzo = org_ref[0, B, F_BZO]
         byo = pl.multiple_of(org_ref[0, B, F_BYO], 8)
         xo = org_ref[0, B, F_XO]
-        tx, ty, tz, m_ana, pw = _geometry(rays, B, ray_step, dims)
+        tx, ty, tz, m_ana, pw = _geometry(
+            rays, B, ray_step, dims,
+            z_off=(scal_ref[0, 5] if slab else None), local_d=vref_d)
 
         if shade:
             tx2, ty2, tz2 = _light_coords(pw, scal_ref, dims)
@@ -512,7 +531,10 @@ def _fwd_kernel(
         return (B < ng_live) & jnp.any(alive0 * (1.0 - fin) > 0.0)
 
     z = jnp.zeros((1, R), jnp.float32)
-    init = (0, z, z, z, z, 1.0 - alive0, z)
+    acc0 = rays[CH_ACC0:CH_ACC0 + 1]
+    fin0 = jnp.maximum(
+        1.0 - alive0, alive0 * (acc0 > thr).astype(jnp.float32))
+    init = (0, z, z, z, acc0, fin0, z)
     B_exit, accr, accg, accb, acca, _, novf = jax.lax.while_loop(
         cond, body, init)
 
@@ -813,7 +835,7 @@ def _acc_shape(vol_shape, wz, wy):
 
 
 def _pallas_fwd(scal, org, rays_t, vols, tfl, *, dims, ray_step,
-                window, fast, shade=False):
+                window, fast, shade=False, slab=False):
     t = rays_t.shape[0]
     ngr = org.shape[1]
     wz, wy, wx = window
@@ -823,7 +845,7 @@ def _pallas_fwd(scal, org, rays_t, vols, tfl, *, dims, ray_step,
     lutl = jnp.pad(tfl[:, :4].T, ((0, 4), (0, 0)))  # (8, TF_SIZE)
     kernel = functools.partial(
         _fwd_kernel, dims=dims, ray_step=ray_step, wz=wz, wy=wy, wx=wx,
-        n_phases=n_phases, fast=fast, shade=shade)
+        n_phases=n_phases, fast=fast, shade=shade, slab=slab)
     return pl.pallas_call(
         kernel,
         grid=(t,),
@@ -1080,3 +1102,122 @@ def render_view_v3(density, premult_tf, ray_step, view,
     colors = jnp.swapaxes(out[:, :4, :], 1, 2)    # (T, R, 4)
     img = layout.untile_rays(colors, wv, hv, tile_w=TILE, tile_h=TILE)
     return img, jnp.sum(out[:, 4, :])
+
+# ---------------------------------------------------------------------------
+# Z-slab segment rendering (volume-sharded mode's per-device march)
+# ---------------------------------------------------------------------------
+
+
+def render_slab_v3(slab_density, premult_tf, ray_step, view,
+                   z_start, full_d, ray_threshold=0.95, acc0=None,
+                   window=None, fast=False):
+    """March one Z-slab's global-lattice samples through the v3 forward
+    kernel -> ``(f32[H, W, 4], overflow)``.
+
+    ``slab_density (sd + 2, H, W)`` covers global z voxels
+    ``[z_start - 1, z_start + sd]`` (one-voxel trilinear halo);
+    ``z_start`` may be traced (shard_map axis index). ``acc0 (H, W)``
+    seeds each ray's accumulated opacity (the cross-slab ERT /
+    transmittance-prescaling input); the returned alpha channel includes
+    it (subtract for the segment delta). Samples lie on the ray's global
+    lattice ``knear + i*step``, so slab segments compose exactly to the
+    unsharded march. Forward-only (the distributed training path uses
+    the XLA renderer).
+    """
+    sdl, h, w = slab_density.shape
+    sd = sdl - 2
+    dims = (w, h, full_d)
+    wv, hv = view.dims
+    if window is None:
+        window = default_window(
+            (w, h, sdl), view.dims, view.perspective)
+    window = _norm_window(window)
+
+    origins, directions = _padded_rays(view)
+    o = origins.reshape(-1, 3)
+    dvec = directions.reshape(-1, 3)
+    from volrt.core import rays as rays_mod
+
+    knear, kfar, hit = rays_mod.intersect_aabb(o, dvec)
+    hit = hit & _valid_mask(view)
+    z_lo = -1.0 + 2.0 * z_start / full_d
+    z_hi = -1.0 + 2.0 * (z_start + sd) / full_d
+    oz = o[:, 2]
+    dz = jnp.where(dvec[:, 2] == 0.0, 1e-5, dvec[:, 2])
+    ka = (z_lo - oz) / dz
+    kb = (z_hi - oz) / dz
+    k_in = jnp.maximum(jnp.minimum(ka, kb), knear)
+    k_out = jnp.minimum(jnp.maximum(ka, kb), kfar)
+    j0g = jnp.ceil(jnp.maximum(k_in - knear, 0.0) / ray_step)
+    k0 = knear + j0g * ray_step
+    alive = hit & (k0 <= k_out)
+    a0 = (jnp.zeros_like(k0) if acc0 is None
+          else _pad_image_scalar(acc0, view).reshape(-1))
+
+    tiles = _pack_tiles(o, dvec, k0, k_out, alive, a0, view, ray_step)
+    rays_t = jnp.swapaxes(tiles, 1, 2)
+    z_off = jnp.float32(z_start - 1)
+    scal = jnp.stack([
+        jnp.asarray(ray_threshold, jnp.float32),
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+        jnp.float32(0.0), z_off, jnp.float32(0.0), jnp.float32(0.0),
+    ]).reshape(1, 8)
+
+    vols = _phase_volumes(slab_density, window[2])
+    bz, by = _brick_shape(vols[0].shape, window[0], window[1])
+    org = plan_windows(
+        tiles, dims, vols[0].shape, ray_step, window[0], window[1],
+        bz, by, wx=window[2], view_dims=view.dims, z_off=z_off)
+    tfl = jnp.pad(premult_tf, ((0, 0), (0, 4)))
+    out = _pallas_fwd(
+        scal, org, rays_t, vols, tfl, dims=dims, ray_step=ray_step,
+        window=window, fast=fast, slab=True)
+    colors = jnp.swapaxes(out[:, :4, :], 1, 2)
+    img = layout.untile_rays(colors, wv, hv, tile_w=TILE, tile_h=TILE)
+    return img, jnp.sum(out[:, 4, :])
+
+
+def _padded_rays(view):
+    from volrt.core import rays as rays_mod
+
+    w, h = view.dims
+    wp, hp = layout.pad_dims(w, h, TILE, TILE)
+    origins, directions = rays_mod.get_rays(view)
+    pad = ((0, hp - h), (0, wp - w), (0, 0))
+    return jnp.pad(origins, pad), jnp.pad(directions, pad)
+
+
+def _valid_mask(view):
+    w, h = view.dims
+    wp, hp = layout.pad_dims(w, h, TILE, TILE)
+    px = jnp.arange(wp)[None, :] < w
+    py = jnp.arange(hp)[:, None] < h
+    return (px & py).reshape(-1)
+
+
+def _pad_image_scalar(img, view):
+    w, h = view.dims
+    wp, hp = layout.pad_dims(w, h, TILE, TILE)
+    return jnp.pad(img, ((0, hp - h), (0, wp - w)))
+
+
+def _pack_tiles(o, dvec, k0, kfar, alive, acc0, view, ray_step):
+    """Pack per-ray channels (incl. the seeded opacity) into v3 tiles."""
+    w, h = view.dims
+    wp, hp = layout.pad_dims(w, h, TILE, TILE)
+    packed = jnp.zeros((hp * wp, layout.N_CHANNELS), jnp.float32)
+    packed = packed.at[:, layout.CH_OX:layout.CH_OZ + 1].set(o)
+    packed = packed.at[:, layout.CH_DX:layout.CH_DZ + 1].set(dvec)
+    packed = packed.at[:, layout.CH_K0].set(k0)
+    packed = packed.at[:, layout.CH_KFAR].set(kfar)
+    packed = packed.at[:, layout.CH_ALIVE].set(alive.astype(jnp.float32))
+    packed = packed.at[:, CH_ACC0].set(acc0)
+    tiles = layout.tile_rays(
+        packed.reshape(hp, wp, layout.N_CHANNELS), w, h, TILE, TILE)
+    tk0 = tiles[..., layout.CH_K0]
+    talive = tiles[..., layout.CH_ALIVE] > 0.0
+    kbase = jnp.min(
+        jnp.where(talive, tk0, jnp.inf), axis=1, keepdims=True)
+    kbase = jnp.where(jnp.isfinite(kbase), kbase, 0.0)
+    j0 = jnp.where(talive, jnp.ceil((tk0 - kbase) / ray_step), 0.0)
+    return tiles.at[..., layout.CH_J0].set(j0)
