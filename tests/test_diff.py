@@ -196,3 +196,28 @@ class TestPeriodicCheckpointResume:
         np.testing.assert_allclose(
             np.asarray(scene_res.density), np.asarray(scene_full.density),
             atol=1e-6)
+
+
+class TestFusedFit:
+    def test_fused_training_converges(self):
+        """fit(fused=True) trains through the fused Pallas kernels."""
+        import jax.numpy as jnp
+
+        from tests.conftest import synthetic_volume
+        from volrt.core.tf import default_transfer_fn
+        from volrt.core.view import Camera
+        from volrt.diff.render import DiffScene, render_diff_image
+        from volrt.diff.render import scene_from_volume
+        from volrt.train.fit import fit
+
+        n, wh = 8, 16
+        gt = scene_from_volume(
+            jnp.asarray(synthetic_volume(n)), default_transfer_fn(), 0.25)
+        cam = Camera(dims=(wh, wh))
+        targets = [(cam.view(), render_diff_image(gt, cam.view()))]
+        init = DiffScene(
+            density=jnp.full((n, n, n), 0.3, jnp.float32),
+            tf_base=default_transfer_fn(), ray_step=0.25)
+        _, losses = fit(init, targets, steps=8, lr=0.05,
+                        train_tf=False, fused=True)
+        assert losses[-1] < losses[0]

@@ -21,7 +21,7 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--synthetic", type=int, default=64,
                    help="synthetic volume size if no file given")
     p.add_argument("-r", "--renderer", type=int, default=3,
-                   help="renderer id 0-4 (reference: -r flag)")
+                   help="renderer id 0-5 (reference: -r flag; 5 = pallas-v3 flagship)")
     p.add_argument("-s", "--size", type=int, nargs=2, default=(512, 512),
                    metavar=("W", "H"), help="viewport size")
     p.add_argument("--scale", type=float, default=1.0,
@@ -231,6 +231,7 @@ def cmd_fit(args) -> int:
         checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
+        fused=args.fused,
     )
     if losses:
         log.log_time("final loss %.6f", losses[-1])
@@ -312,6 +313,9 @@ def main(argv=None) -> int:
                    "the end)")
     p.add_argument("--resume", action="store_true",
                    help="resume from --checkpoint if it exists")
+    p.add_argument("--fused", action="store_true",
+                   help="train through the fused Pallas kernels (TPU "
+                   "fast path)")
     p.add_argument("--log", default="volrt.log")
     p.set_defaults(fn=cmd_fit)
 

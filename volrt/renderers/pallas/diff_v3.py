@@ -754,7 +754,9 @@ def _bwd_kernel(
                 dsval = dsval - gate_f * kd * drgb
                 dsval2 = gate_f * kd * drgb
 
-            # Rebuild the band's tap weights for the dBrick transpose.
+            # Rebuild the band's tap weights for the dBrick transpose
+            # (measured no cheaper to stash in VMEM: the store/load
+            # round-trip costs what the ~6-op rebuild does).
             z0g, y0g = _band_scalars(
                 org_ref, B, g, bzo, byo, bz, by, wz, wy)
             lz = tz[g:g + 1] - z0g.astype(jnp.float32)

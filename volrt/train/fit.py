@@ -31,6 +31,16 @@ def l2_loss(scene: DiffScene, view: View, target: jax.Array) -> jax.Array:
     return jnp.mean((img - target) ** 2)
 
 
+def l2_loss_fused(scene: DiffScene, view: View,
+                  target: jax.Array) -> jax.Array:
+    """L2 loss through the fused Pallas forward/backward kernels — the
+    single-chip TPU fast path (~100x the XLA scan+remat reference at
+    256^3/1024^2; see BASELINE.md)."""
+    from volrt.diff import fused
+
+    return fused.l2_loss_fused(scene, view, target, fast=True)
+
+
 def make_optimizer(lr: float = 1e-2) -> optax.GradientTransformation:
     return optax.adam(lr)
 
@@ -103,6 +113,7 @@ def fit(
     checkpoint_path: str | None = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    fused: bool = False,
 ) -> tuple[DiffScene, list[float]]:
     """Fit the scene to targets; returns (scene, per-step losses).
 
@@ -110,12 +121,15 @@ def fit(
     TrainState (scene + optimizer + step) so long fits survive preemption;
     ``resume=True`` loads that state (if the file exists) and continues from
     its step counter — ``steps`` counts total steps including resumed ones.
+    ``fused=True`` trains through the fused Pallas kernels (single-chip
+    fast path; the sharded ``mesh`` path stays on the XLA renderer).
     """
     import os
 
     optimizer = make_optimizer(lr)
     train_step = make_train_step(
-        optimizer, train_density=train_density, train_tf=train_tf, mesh=mesh
+        optimizer, loss_fn=(l2_loss_fused if fused else l2_loss),
+        train_density=train_density, train_tf=train_tf, mesh=mesh
     )
     state = init_state(scene, optimizer)
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
