@@ -112,10 +112,8 @@ def n_groups_for(ray_step: float, view_dims=None) -> int:
     view-aware bound roughly halves the planning arrays at 512^3 scale."""
     if view_dims is None:
         return -(-layout.max_bands(ray_step) // G)
-    import math as _m
-
     px = 3.0 / min(view_dims)  # conservative world units per pixel
-    j0_bound = int(_m.ceil(TILE * 1.5 * px / ray_step)) + 2
+    j0_bound = int(math.ceil(TILE * 1.5 * px / ray_step)) + 2
     bands = layout.max_steps(ray_step) + j0_bound + G
     return min(-(-bands // G), -(-layout.max_bands(ray_step) // G))
 
