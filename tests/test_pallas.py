@@ -240,3 +240,35 @@ class TestFwdV3Rung:
         b, _ = v3.render_float(rc_noesl)
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_phong_matches_batched(self):
+        """Rung 5 gradient Blinn-Phong matches the XLA reference shading
+        (central-difference normals from shifted hat weights vs
+        sample_trilinear at +-2/n world offsets — identical taps, rsqrt
+        vs divide normalization => small tolerance)."""
+        import numpy as np
+
+        from tests.conftest import synthetic_volume
+        from volrt.core.types import Volume, make_raycaster
+        from volrt.core.view import Camera
+        from volrt.renderers import batched, get_renderer
+
+        for persp in (False, True):
+            cam = Camera(dims=(32, 32), perspective=persp)
+            if persp:
+                cam.toggle_perspective(update_mode=True)
+            cam.set_camera_position((30.0, 20.0, 0.0))
+            rc = make_raycaster(
+                Volume.from_numpy(synthetic_volume(16)),
+                view=cam.view(), interpolation="trilinear",
+                shading="phong",
+            )
+            a = np.asarray(batched.render_float(rc))
+            b, ovf = get_renderer(5).render_float(rc)
+            np.testing.assert_allclose(
+                a, np.asarray(b), atol=3e-3)
+            assert float(ovf) == 0.0
+            # Phong actually lights the scene (differs from unshaded).
+            c, _ = get_renderer(5).render_float(
+                rc.replace(shading="diffuse", light_kd=jnp.float32(0.0)))
+            assert np.abs(np.asarray(c) - np.asarray(b)).max() > 1e-3

@@ -34,7 +34,7 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--shading", choices=("diffuse", "phong"),
                    default="diffuse",
                    help="diffuse = reference one-tap shading; phong = "
-                   "gradient Blinn-Phong (renderers 0-1)")
+                   "gradient Blinn-Phong (renderers 0-1 and 5)")
     p.add_argument("--interpolation", choices=("nearest", "trilinear"),
                    default=None,
                    help="default: nearest for renderers 0-2, trilinear 3-4")

@@ -10,8 +10,8 @@ common.h:16) re-designed for TPU:
   3. ``pallas-trilinear``— Pallas kernel, trilinear + interpolated TF
                            (GPURenderer4 analog)
   4. ``pallas-blocked``  — blocked/DMA Pallas kernel for large volumes
-  5. ``pallas-v3``       — lane-major planned-window kernel (flagship,
-                           unshaded trilinear; use when light_kd == 0)
+  5. ``pallas-v3``       — lane-major planned-window kernel (flagship;
+                           unshaded trilinear or gradient Blinn-Phong)
 
 Every rung renders the same scene allclose to rung 0 within documented
 tolerances.

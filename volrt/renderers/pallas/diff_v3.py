@@ -324,7 +324,7 @@ def _band_sample(brick_ref, iotas, tx, ty, tz, z0g, y0g, xo,
         precision=prec)                                    # (wx, R)
     xw = jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lx))        # (wx, R)
     sval = jnp.sum(xrows * xw, axis=0, keepdims=True)
-    return sval, ovf, (wmat, xw, lx)
+    return sval, ovf, (wmat, xw, lx, xrows)
 
 
 def _tf_onehot(sval_row, brow):
@@ -427,7 +427,7 @@ def _fwd_kernel(
     out_ref,
     brick_ref, sem,
     *, dims, ray_step, wz, wy, wx, n_phases, fast, shade=False,
-    slab=False,
+    slab=False, phong=False,
 ):
     del tfl_ref  # forward uses the lane-major LUT
     dtype = jnp.float32
@@ -474,6 +474,8 @@ def _fwd_kernel(
         if shade:
             tx2, ty2, tz2 = _light_coords(pw, scal_ref, dims)
         svals, ovfs, svals2 = [], [], []
+        grads = []
+        w_, h_, d_ = dims
         for g in range(G):
             z0g, y0g = _band_scalars(
                 org_ref, B, g, bzo, byo, bz, by, wz, wy)
@@ -481,11 +483,58 @@ def _fwd_kernel(
                 slot, pl.ds(z0g - bzo, wz),
                 pl.ds(pl.multiple_of((y0g - byo) & ~7, 8), wy), :
             ].reshape(wz * wy, 128)[:, :wx]
-            sval, ovf, _ = _band_sample(
+            sval, ovf, (wmat, xw_c, lx_c, xrows) = _band_sample(
                 bview, (zrow, yrow, xrow), tx, ty, tz, z0g, y0g, xo,
                 g, wz, wy, wx, dtype, prec)
             svals.append(sval)
             ovfs.append(ovf.astype(jnp.float32))
+            if phong:
+                # Central-difference gradient from shifted hat weights:
+                # the +-1-voxel field samples of the reference Phong
+                # (renderers/common.py:gradient_normal) fall out of the
+                # same window matmul with shifted weights; clipping the
+                # shifted coordinate globally reproduces the reference's
+                # tap clamps at volume borders.
+                lz = tz[g:g + 1] - z0g.astype(jnp.float32)
+                ly = ty[g:g + 1] - y0g.astype(jnp.float32)
+                txg = tx[g:g + 1]
+                lxp = jnp.clip(txg + 1.0, 0.0, w_ - 1.0) - xo
+                lxm = jnp.clip(txg - 1.0, 0.0, w_ - 1.0) - xo
+                xw_d = (jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lxp))
+                        - jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lxm)))
+                gx = jnp.sum(xrows * xw_d, axis=0, keepdims=True)
+                tyg = ty[g:g + 1]
+                lyp = jnp.clip(tyg + 1.0, 0.0, h_ - 1.0) \
+                    - y0g.astype(jnp.float32)
+                lym = jnp.clip(tyg - 1.0, 0.0, h_ - 1.0) \
+                    - y0g.astype(jnp.float32)
+                yw_d = (jnp.maximum(0.0, 1.0 - jnp.abs(yrow - lyp))
+                        - jnp.maximum(0.0, 1.0 - jnp.abs(yrow - lym)))
+                wzw = jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lz))
+                wmat_dy = (jnp.broadcast_to(
+                    wzw[:, None, :], (wz, wy, R)).reshape(wz * wy, R)
+                    * pltpu.repeat(yw_d, wz, axis=0))
+                gy = jnp.sum(jax.lax.dot_general(
+                    bview, wmat_dy, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec) * xw_c, axis=0, keepdims=True)
+                tzg = tz[g:g + 1]
+                zoffv = (scal_ref[0, 5] if slab else jnp.float32(0.0))
+                lzp = jnp.clip(tzg + 1.0, 0.0, d_ - 1.0 - zoffv) \
+                    - z0g.astype(jnp.float32)
+                lzm = jnp.clip(tzg - 1.0, 0.0, d_ - 1.0 - zoffv) \
+                    - z0g.astype(jnp.float32)
+                zw_d = (jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lzp))
+                        - jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lzm)))
+                wyw = jnp.maximum(0.0, 1.0 - jnp.abs(yrow - ly))
+                wmat_dz = (jnp.broadcast_to(
+                    zw_d[:, None, :], (wz, wy, R)).reshape(wz * wy, R)
+                    * pltpu.repeat(wyw, wz, axis=0))
+                gz = jnp.sum(jax.lax.dot_general(
+                    bview, wmat_dz, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec) * xw_c, axis=0, keepdims=True)
+                grads.append((gx, gy, gz))
             if shade:
                 sval2, ovf2, _ = _band_sample(
                     bview, (zrow, yrow, xrow), tx2, ty2, tz2, z0g, y0g,
@@ -500,11 +549,52 @@ def _fwd_kernel(
             kd = scal_ref[0, 1]
             dshade8 = (sv8_2 - sv8) * kd  # gated per band below
 
+        if phong:
+            px_, py_, pz_ = pw
+            dxr, dyr, dzr = rays[3:4], rays[4:5], rays[5:6]
+            vinv = jax.lax.rsqrt(
+                dxr * dxr + dyr * dyr + dzr * dzr + 1e-20)
+            vx, vy, vz = -dxr * vinv, -dyr * vinv, -dzr * vinv
+            kd = scal_ref[0, 1]
+
         for g in range(G):
             cr = cr8[g:g + 1, :R]
             cg = cg8[g:g + 1, :R]
             cb = cb8[g:g + 1, :R]
             ca = ca8[g:g + 1, :R]
+            if phong:
+                from volrt.constants import (
+                    PHONG_KA, PHONG_KS, PHONG_SHININESS)
+                gx, gy, gz = grads[g]
+                ginv = jax.lax.rsqrt(
+                    gx * gx + gy * gy + gz * gz + 1e-16)
+                nx, ny, nz = -gx * ginv, -gy * ginv, -gz * ginv
+                lx_ = scal_ref[0, 2] - px_[g:g + 1]
+                ly_ = scal_ref[0, 3] - py_[g:g + 1]
+                lz_ = scal_ref[0, 4] - pz_[g:g + 1]
+                linv = jax.lax.rsqrt(
+                    lx_ * lx_ + ly_ * ly_ + lz_ * lz_ + 1e-20)
+                lxn, lyn, lzn = lx_ * linv, ly_ * linv, lz_ * linv
+                hx, hy, hz = lxn + vx, lyn + vy, lzn + vz
+                hinv = jax.lax.rsqrt(
+                    hx * hx + hy * hy + hz * hz + 1e-20)
+                ndl = jnp.maximum(
+                    nx * lxn + ny * lyn + nz * lzn, 0.0)
+                ndh = jnp.maximum(
+                    (nx * hx + ny * hy + nz * hz) * hinv, 0.0)
+                # ndh^16 by repeated squaring (PHONG_SHININESS == 16)
+                assert PHONG_SHININESS == 16.0
+                s2 = ndh * ndh
+                s4 = s2 * s2
+                s8 = s4 * s4
+                spec = PHONG_KS * (s8 * s8) * ca
+                lit = PHONG_KA + kd * ndl
+                gate_p = ((ca > SHADE_ALPHA_GATE)
+                          & (kd > SHADE_KD_GATE)).astype(jnp.float32)
+                keep = 1.0 - gate_p
+                cr = cr * (keep + gate_p * lit) + gate_p * spec
+                cg = cg * (keep + gate_p * lit) + gate_p * spec
+                cb = cb * (keep + gate_p * lit) + gate_p * spec
             if shade:
                 gate = ((ca > SHADE_ALPHA_GATE)
                         & (scal_ref[0, 1] > SHADE_KD_GATE))
@@ -835,7 +925,7 @@ def _acc_shape(vol_shape, wz, wy):
 
 
 def _pallas_fwd(scal, org, rays_t, vols, tfl, *, dims, ray_step,
-                window, fast, shade=False, slab=False):
+                window, fast, shade=False, slab=False, phong=False):
     t = rays_t.shape[0]
     ngr = org.shape[1]
     wz, wy, wx = window
@@ -845,7 +935,8 @@ def _pallas_fwd(scal, org, rays_t, vols, tfl, *, dims, ray_step,
     lutl = jnp.pad(tfl[:, :4].T, ((0, 4), (0, 0)))  # (8, TF_SIZE)
     kernel = functools.partial(
         _fwd_kernel, dims=dims, ray_step=ray_step, wz=wz, wy=wy, wx=wx,
-        n_phases=n_phases, fast=fast, shade=shade, slab=slab)
+        n_phases=n_phases, fast=fast, shade=shade, slab=slab,
+        phong=phong)
     return pl.pallas_call(
         kernel,
         grid=(t,),
@@ -1054,7 +1145,8 @@ def render_image_v3_with_ovf(scene, view, ray_threshold=0.95,
 
 def render_view_v3(density, premult_tf, ray_step, view,
                    ray_threshold=0.95, window=None, fast=False,
-                   esl_fn=None, light_kd=0.0, shaded=False):
+                   esl_fn=None, light_kd=0.0, shaded=False,
+                   phong=False):
     """Premult-level v3 render -> (f32[H, W, 4], overflow count).
 
     ``density`` is the float grid (D, H, W); ``premult_tf`` the
@@ -1067,11 +1159,11 @@ def render_view_v3(density, premult_tf, ray_step, view,
     wv, hv = view.dims
     if window is None:
         window = default_window(dims, view.dims, view.perspective)
-        if shaded:
-            # The light tap samples SHADE_LIGHT_OFFSET world units away:
-            # widen the window by its voxel extent (clamped to the padded
-            # volume, like default_window).
-            off = int(0.01 * 0.5 * max(dims)) + 2
+        if shaded or phong:
+            # The light tap samples SHADE_LIGHT_OFFSET world units away
+            # (and the Phong gradient taps +-1 voxel): widen the window
+            # accordingly (clamped to the padded volume).
+            off = (int(0.01 * 0.5 * max(dims)) + 2) if shaded else 2
             window = (
                 min(window[0] + off, -(-dims[2] // 8) * 8),
                 min(-(-(window[1] + off) // 8) * 8,
@@ -1096,9 +1188,16 @@ def render_view_v3(density, premult_tf, ray_step, view,
         bz, by, wx=window[2], view_dims=view.dims)
     tfl = jnp.pad(premult_tf, ((0, 0), (0, 4)))
 
-    out = render_tiles_v3(
-        scal, org, rays_t, vols, tfl, dims, ray_step,
-        window, fast, bool(shaded))
+    if phong:
+        # Gradient Blinn-Phong is a forward-rung feature (no analytic
+        # backward); bypass the custom_vjp wrapper.
+        out = _pallas_fwd(
+            scal, org, rays_t, vols, tfl, dims=dims, ray_step=ray_step,
+            window=window, fast=fast, shade=bool(shaded), phong=True)
+    else:
+        out = render_tiles_v3(
+            scal, org, rays_t, vols, tfl, dims, ray_step,
+            window, fast, bool(shaded))
     colors = jnp.swapaxes(out[:, :4, :], 1, 2)    # (T, R, 4)
     img = layout.untile_rays(colors, wv, hv, tile_w=TILE, tile_h=TILE)
     return img, jnp.sum(out[:, 4, :])

@@ -1,11 +1,12 @@
-"""Renderer 5 — lane-major planned-window forward kernel (v3, unshaded).
+"""Renderer 5 — lane-major planned-window forward kernel (v3).
 
 The renderer-ladder rung built on the v3 kernel generation (see diff_v3's
 module docstring): same trilinear + linearly-interpolated-TF semantics as
-rung 4 (reference: GPURenderer4.cu:53-87) minus the diffuse light tap, at
-~5x rung-4 throughput. Use when ``light_kd == 0`` (the reference's shade()
-contributes nothing then, RaycasterBase.h:87-98); the shaded path stays on
-rungs 3/4.
+rung 4 (reference: GPURenderer4.cu:53-87), at ~5x rung-4 throughput.
+Shading modes: unshaded (``light_kd == 0`` — the reference's shade()
+contributes nothing then, RaycasterBase.h:87-98) or gradient Blinn-Phong
+(``shading == "phong"``, BASELINE config 4); the reference's one-tap
+diffuse stays on rungs 3/4.
 
 ESL feeds the same per-ray leading-leap offsets as the other rungs; ERT is
 exact reference semantics (acca > threshold latch per ray).
@@ -32,7 +33,11 @@ def render_float(
 ) -> tuple[jax.Array, jax.Array]:
     """Render to ``(f32[H, W, 4] image, f32[] overflow_count)``.
 
-    The diffuse shading tap is not applied (valid when ``light_kd == 0``).
+    ``rc.shading == "phong"`` applies gradient Blinn-Phong (central-
+    difference normals from shifted tap weights — BASELINE config 4's
+    shading at kernel speed); the reference one-tap diffuse is not
+    implemented here (use rungs 3/4), so with ``shading == "diffuse"``
+    this rung is valid when ``light_kd == 0``.
     """
     if rc.interpolation != "trilinear":
         raise ValueError("pallas-v3 renders trilinear mode only")
@@ -47,7 +52,8 @@ def render_float(
     img, ovf = render_view_v3(
         density, rc.transfer_fn.astype(jnp.float32), rc.ray_step,
         rc.view, ray_threshold=rc.ray_threshold, window=window,
-        fast=fast, esl_fn=esl_fn)
+        fast=fast, esl_fn=esl_fn,
+        light_kd=rc.light_kd, phong=(rc.shading == "phong"))
     return img, ovf
 
 
