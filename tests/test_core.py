@@ -234,6 +234,25 @@ class TestESL:
         back = np.asarray(esl.unpack_bitmask(words))
         np.testing.assert_array_equal(back, grid)
 
+    def test_empty_distance_grid(self):
+        """Chebyshev distance field: 0 at non-empty blocks, exact max-norm
+        distance elsewhere (brute-force oracle on a sparse grid)."""
+        rng = np.random.default_rng(3)
+        empty = np.ones((ESL_VOLUME_DIMS,) * 3, bool)
+        occ = rng.integers(0, ESL_VOLUME_DIMS, size=(5, 3))
+        for z, y, x in occ:
+            empty[z, y, x] = False
+        dist = np.asarray(esl.empty_distance_grid(jnp.asarray(empty)))
+        zz, yy, xx = np.meshgrid(
+            *[np.arange(ESL_VOLUME_DIMS)] * 3, indexing="ij")
+        want = np.full(empty.shape, ESL_VOLUME_DIMS, np.int64)
+        for z, y, x in occ:
+            cheb = np.maximum.reduce(
+                [np.abs(zz - z), np.abs(yy - y), np.abs(xx - x)])
+            want = np.minimum(want, cheb)
+        np.testing.assert_array_equal(
+            dist, np.minimum(want, ESL_VOLUME_DIMS))
+
     def test_leap_preserves_lattice(self, synth32):
         vol = Volume.from_numpy(synth32)
         block = 8

@@ -82,6 +82,28 @@ def unpack_bitmask(words: jax.Array) -> jax.Array:
     return ((words >> shifts) & 1).astype(jnp.bool_)
 
 
+def empty_distance_grid(empty: jax.Array) -> jax.Array:
+    """Chebyshev distance (in blocks) to the nearest non-empty block.
+
+    ``dist == 0`` at non-empty blocks; ``dist == m >= 1`` guarantees every
+    block within max-norm radius ``m - 1`` is empty. Built by iterated
+    3x3x3 min-dilation (``reduce_window``) over the 32^3 grid — the
+    TPU-native distance transform that upgrades the reference's
+    one-block-at-a-time leap (RaycasterBase.h:67-85) into multi-block
+    sphere-tracing leaps. No reference counterpart.
+    """
+    n = ESL_VOLUME_DIMS
+    d0 = jnp.where(empty, jnp.int32(n), jnp.int32(0))
+
+    def body(_, d):
+        m = jax.lax.reduce_window(
+            d, jnp.int32(n), jax.lax.min,
+            (3, 3, 3), (1, 1, 1), "SAME")
+        return jnp.minimum(d, m + 1)
+
+    return jax.lax.fori_loop(0, n - 1, body, d0)
+
+
 def sample_empty(
     empty: jax.Array,
     pos: jax.Array,

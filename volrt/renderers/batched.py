@@ -44,7 +44,24 @@ def esl_start_raw(
     knear: jax.Array, kfar: jax.Array, hit: jax.Array,
 ) -> jax.Array:
     """:func:`esl_start` from raw components (no Raycaster — used by the
-    differentiable path, whose scene is a float density grid)."""
+    differentiable path, whose scene is a float density grid).
+
+    Leaps are sphere-tracing style: a Chebyshev distance field over the
+    block grid (:func:`volrt.core.esl.empty_distance_grid`) lets a ray
+    ``m`` blocks from the nearest non-empty block cross ``m - 1`` block
+    widths in one leap, so wide empty regions cost O(1) lockstep
+    iterations instead of one per block (the reference leaps a single
+    block per loop pass, RaycasterBase.h:67-85). Every leap is quantized
+    down to whole ray steps, and every skipped lattice sample provably
+    lies in an empty block — images are unchanged.
+    """
+    from volrt.core.sampling import world_to_voxel_idx
+
+    dist = esl_mod.empty_distance_grid(esl_empty)  # int32 (32, 32, 32)
+    min_bw = jnp.min(jnp.asarray(block_size, jnp.float32))
+    # Perspective ray directions are unnormalized (reference quirk,
+    # ViewBase.h:28): convert the world-space safe radius to parametric.
+    dnorm = jnp.sqrt(jnp.sum(directions * directions, axis=-1) + 1e-20)
 
     def cond(state):
         _, stopped = state
@@ -54,10 +71,15 @@ def esl_start_raw(
         k, stopped = state
         pt = origins + directions * k[..., None]
         in_range = k <= kfar
-        empty = esl_mod.sample_empty(esl_empty, pt, dims, block)
-        do_leap = in_range & empty & ~stopped
-        dk = esl_mod.leap_distance(pt, directions, dims, block, block_size, step)
-        k = jnp.where(do_leap, k + dk + step, k)
+        idx = world_to_voxel_idx(pt, dims) // block
+        m = dist[idx[..., 2], idx[..., 1], idx[..., 0]]
+        do_leap = in_range & (m >= 1) & ~stopped
+        dk = esl_mod.leap_distance(
+            pt, directions, dims, block, block_size, step)
+        # Chebyshev-ball leap: (m-1) block widths from pt stay empty.
+        ball = jnp.floor(
+            (m - 1).astype(jnp.float32) * min_bw / dnorm / step) * step
+        k = jnp.where(do_leap, k + jnp.maximum(dk, ball) + step, k)
         return k, stopped | ~do_leap
 
     k0, _ = jax.lax.while_loop(cond, body, (knear, ~hit))

@@ -67,6 +67,11 @@ XW = X_LANES      # max x window width (one lane tile)
 
 _INF = jnp.float32(1e30)
 
+# Trace-time perf-ablation switches for the backward kernel (debug only:
+# set e.g. diff_v3._BWD_ABLATE = {"dtf"} before tracing to skip a
+# component and measure its share). Production paths leave this empty.
+_BWD_ABLATE: frozenset = frozenset()
+
 
 def default_window(dims, view_dims, perspective=False):
     """Static (wz, wy) per-band window for v3's per-band planned origins.
@@ -646,6 +651,7 @@ def _bwd_kernel(
     *, dims, ray_step, wz, wy, wx, n_phases, fast, shade=False,
 ):
     del dv0_in_ref, dv1_in_ref, dv2_in_ref, dv3_in_ref  # aliased
+    abl = _BWD_ABLATE
     dtype = jnp.float32
     prec = (jax.lax.Precision.DEFAULT if fast
             else jax.lax.Precision.HIGHEST)
@@ -708,10 +714,11 @@ def _bwd_kernel(
             wr.start()
             wr.wait()
 
-        for p in range(n_phases):
-            @pl.when(aph == p)
-            def _(p=p):
-                rmw(dv_refs[p], axo - shift * p)
+        if "flush" not in abl:
+            for p in range(n_phases):
+                @pl.when(aph == p)
+                def _(p=p):
+                    rmw(dv_refs[p], axo - shift * p)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def body(carry):
@@ -763,9 +770,12 @@ def _bwd_kernel(
                 slot, pl.ds(z0g - bzo, wz),
                 pl.ds(pl.multiple_of((y0g - byo) & ~7, 8), wy), :
             ].reshape(wz * wy, 128)[:, :wx]
-            sval, _, _ = _band_sample(
-                bview, (zrow, yrow, xrow), tx, ty, tz, z0g, y0g, xo,
-                g, wz, wy, wx, dtype, prec)
+            if "pass1" in abl:
+                sval = tz[g:g + 1] * 1e-8
+            else:
+                sval, _, _ = _band_sample(
+                    bview, (zrow, yrow, xrow), tx, ty, tz, z0g, y0g, xo,
+                    g, wz, wy, wx, dtype, prec)
             svals.append(sval)
             if shade:
                 sval2, _, _ = _band_sample(
@@ -777,16 +787,19 @@ def _bwd_kernel(
             sv8, None, lutl)
         # Batched slope gathers (replaces a per-band d(one-hot) matmul).
         lanes = max(R, 128)
-        slopes = []
-        for c in range(4):
-            ssrc = jnp.broadcast_to(slopel[c:c + 1, :], (G, 128))
-            parts = [
-                jnp.take_along_axis(
-                    ssrc, lo8[:, k * 128:(k + 1) * 128], axis=1)
-                for k in range(lanes // 128)
-            ]
-            slopes.append(jnp.concatenate(parts, axis=1)
-                          if len(parts) > 1 else parts[0])
+        if "slopes" in abl:
+            slopes = [tt8 * (0.001 * (c + 1)) for c in range(4)]
+        else:
+            slopes = []
+            for c in range(4):
+                ssrc = jnp.broadcast_to(slopel[c:c + 1, :], (G, 128))
+                parts = [
+                    jnp.take_along_axis(
+                        ssrc, lo8[:, k * 128:(k + 1) * 128], axis=1)
+                    for k in range(lanes // 128)
+                ]
+                slopes.append(jnp.concatenate(parts, axis=1)
+                              if len(parts) > 1 else parts[0])
 
         if shade:
             sv8_2 = jnp.concatenate(svals2, axis=0)
@@ -822,12 +835,13 @@ def _bwd_kernel(
                 axis=0) * m                          # (8, R)
 
             # dTF += oh @ dcol^T -> (TF_SIZE, 8); in-register per tile.
-            oh = jnp.maximum(
-                0.0, 1.0 - jnp.abs(brow - tt8[g:g + 1, :R]))
-            dtfacc_ref[...] += jax.lax.dot_general(
-                oh, dcol, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec)
+            if "dtf" not in abl:
+                oh = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(brow - tt8[g:g + 1, :R]))
+                dtfacc_ref[...] += jax.lax.dot_general(
+                    oh, dcol, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec)
 
             dsval = (
                 slopes[0][g:g + 1, :R] * dcr
@@ -850,17 +864,26 @@ def _bwd_kernel(
             lz = tz[g:g + 1] - z0g.astype(jnp.float32)
             ly = ty[g:g + 1] - y0g.astype(jnp.float32)
             lx = tx[g:g + 1] - xo.astype(jnp.float32)
-            wzw = jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lz))
-            wyw = jnp.maximum(0.0, 1.0 - jnp.abs(yrow - ly))
-            wmat = (jnp.broadcast_to(
-                wzw[:, None, :], (wz, wy, R)).reshape(wz * wy, R)
-                * pltpu.repeat(wyw, wz, axis=0))
+            if "wmat" in abl:
+                wmat = jnp.broadcast_to(
+                    (zrow - lz)[:, None, :], (wz, wy, R)).reshape(
+                        wz * wy, R)
+            else:
+                wzw = jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lz))
+                wyw = jnp.maximum(0.0, 1.0 - jnp.abs(yrow - ly))
+                wmat = (jnp.broadcast_to(
+                    wzw[:, None, :], (wz, wy, R)).reshape(wz * wy, R)
+                    * pltpu.repeat(wyw, wz, axis=0))
             xw = jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lx))
             Dx = dsval * xw                          # (wx, R)
-            dbrick = jax.lax.dot_general(
-                wmat, Dx, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec)                      # (wz*wy, wx)
+            if "dbrick" in abl:
+                dbrick = (jnp.zeros((wz * wy, wx), jnp.float32)
+                          + wmat[:, 0:1] + jnp.sum(Dx) * 1e-30)
+            else:
+                dbrick = jax.lax.dot_general(
+                    wmat, Dx, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec)                  # (wz*wy, wx)
             if shade:
                 # Second scatter: the light tap's footprint.
                 lz2 = tz2[g:g + 1] - z0g.astype(jnp.float32)
@@ -878,10 +901,15 @@ def _bwd_kernel(
                     precision=prec)
             if wx < 128:
                 dbrick = jnp.pad(dbrick, ((0, 0), (0, 128 - wx)))
-            acc_ref[
-                pl.ds(z0g - azo, wz),
-                pl.ds(pl.multiple_of((y0g - ayo) & ~7, 8), wy), :
-            ] += dbrick.reshape(wz, wy, 128)
+            if "accrmw" not in abl:
+                acc_ref[
+                    pl.ds(z0g - azo, wz),
+                    pl.ds(pl.multiple_of((y0g - ayo) & ~7, 8), wy), :
+                ] += dbrick.reshape(wz, wy, 128)
+            else:
+                # Keep dbrick live so DCE can't drop the matmul itself
+                # (cheap sink: one row, no full reduction).
+                acca = acca + dbrick[0:1, 0:1] * 1e-30
 
             acca = acca + ca * T
             fin = jnp.maximum(
