@@ -217,3 +217,69 @@ class TestV3ShadedDiff:
             np.asarray(g_ref.density), np.asarray(g_v3.density), atol=5e-6)
         np.testing.assert_allclose(
             np.asarray(g_ref.tf_base), np.asarray(g_v3.tf_base), atol=5e-6)
+
+
+class TestV3FlushTrim:
+    def test_trimmed_flush_grads_match(self):
+        """A written-extent-sized backward flush box produces identical
+        gradients to the default full-accumulator flush."""
+        scene, view = setup()
+        target = jnp.zeros((32, 32, 4), jnp.float32)
+
+        def loss(s, flush):
+            img = render_image_v3(s, view, flush=flush)
+            return jnp.mean((img - target) ** 2)
+
+        g_full = jax.grad(lambda s: loss(s, None))(scene)
+        g_trim = jax.grad(lambda s: loss(s, (16, 16)))(scene)
+        np.testing.assert_allclose(
+            np.asarray(g_full.density), np.asarray(g_trim.density),
+            atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(g_full.tf_base), np.asarray(g_trim.tf_base),
+            atol=1e-7)
+
+    def test_undersized_flush_is_detected(self):
+        """An undersized flush box must raise the clipped-row counter
+        (dTF padding cell [0, 7]) instead of silently dropping rows."""
+        from volrt.renderers.pallas import diff_v3 as D
+        from volrt.renderers.pallas import layout
+
+        scene, view = setup()
+        d, h, w = scene.density.shape
+        dims = (w, h, d)
+        premult = jnp.concatenate(
+            [scene.tf_base[:, :3] * scene.tf_base[:, 3:4],
+             scene.tf_base[:, 3:4]], axis=-1)
+        window = D._norm_window(
+            D.default_window(dims, view.dims, view.perspective))
+        tiles = layout.prepare_ray_tiles_raw(
+            view, scene.ray_step, None, tile_w=D.TILE, tile_h=D.TILE)
+        rays_t = jnp.swapaxes(tiles, 1, 2)
+        lp = view.light_pos.astype(jnp.float32).reshape(3)
+        scal = jnp.concatenate([
+            jnp.asarray(0.95, jnp.float32).reshape(1),
+            jnp.asarray(0.0, jnp.float32).reshape(1),
+            lp, jnp.zeros(3, jnp.float32)]).reshape(1, 8)
+        vols = D._phase_volumes(
+            scene.density.astype(jnp.float32), window[2])
+        bz, by = D._brick_shape(vols[0].shape, window[0], window[1])
+        org = D.plan_windows(
+            tiles, dims, vols[0].shape, scene.ray_step,
+            window[0], window[1], bz, by, wx=window[2],
+            view_dims=view.dims)
+        tfl = jnp.pad(premult, ((0, 0), (0, 4)))
+        out = D._pallas_fwd(
+            scal, org, rays_t, vols, tfl, dims=dims,
+            ray_step=scene.ray_step, window=window, fast=False)
+        gG = D._pack_gG(jnp.ones_like(out), out)
+
+        def run(flush):
+            _, dtf = D._pallas_bwd(
+                scal, org, rays_t, vols, tfl, gG, dims=dims,
+                ray_step=scene.ray_step, window=window, fast=False,
+                flush=flush)
+            return float(dtf[0, 7])
+
+        assert run((16, 16)) == 0.0
+        assert run((8, 8)) > 0.0

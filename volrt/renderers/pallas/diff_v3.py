@@ -128,7 +128,8 @@ def n_groups_for(ray_step: float, view_dims=None) -> int:
 # ---------------------------------------------------------------------------
 
 # org field indices (int32, per tile x group)
-(F_Z0, F_DZ, F_Y0, F_DY, F_XO, F_PH, F_BZO, F_BYO, F_NG) = range(9)
+(F_Z0, F_DZ, F_Y0, F_DY, F_XO, F_PH, F_BZO, F_BYO, F_NG,
+ F_WZL, F_WZH, F_WYL, F_WYH) = range(13)
 ORG_C = 16  # padded field count
 
 
@@ -162,7 +163,7 @@ def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by,
 
     def group_stats(b0):
         """Masked per-axis footprint min/max at one group's two end bands
-        -> stacked (T, 10). Scanned over groups to keep the intermediates
+        -> stacked (T, 13). Scanned over groups to keep the intermediates
         at (T, R) instead of (T, R, NG*2) (which OOMs at 512^3 scale)."""
         gs, ge = b0, b0 + (G - 1)
         outs = []
@@ -176,18 +177,25 @@ def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by,
                     # Z-slab mode: windows address slab-local rows.
                     t = jnp.clip(t - z_off, 0.0, Dp - 1.0)
                 outs.append(jnp.min(jnp.where(act, t, _INF), axis=1))
+                if o_c is not ox:
+                    # z/y footprint maxima: the backward flush trims its
+                    # RMW box to the written-row extents.
+                    outs.append(jnp.max(jnp.where(act, t, -_INF), axis=1))
             tx_ = (ox + dx * kk + 1.0) * (0.5 * w) - 0.5
             outs.append(jnp.max(jnp.where(act, tx_, -_INF), axis=1))
         outs.append(jnp.any(act, axis=1).astype(jnp.float32))
-        return jnp.stack(outs, axis=-1)  # (T, 9)
+        return jnp.stack(outs, axis=-1)  # (T, 13)
 
     b_starts = jnp.arange(ng, dtype=jnp.float32) * G
-    stats = jax.lax.map(group_stats, b_starts)   # (NG, T, 9)
-    stats = jnp.moveaxis(stats, 0, 1)            # (T, NG, 9)
-    zmin = stats[..., (0, 4)]
-    ymin = stats[..., (1, 5)]
-    xmin = stats[..., (2, 6)]
-    live = stats[..., 8] > 0.0
+    stats = jax.lax.map(group_stats, b_starts)   # (NG, T, 13)
+    stats = jnp.moveaxis(stats, 0, 1)            # (T, NG, 13)
+    # Per-end layout: [zmin, zmax, ymin, ymax, xmin, xmax] then live.
+    zmin = stats[..., (0, 6)]
+    ymin = stats[..., (2, 8)]
+    xmin = stats[..., (4, 10)]
+    zmax = stats[..., (1, 7)]
+    ymax = stats[..., (3, 9)]
+    live = stats[..., 12] > 0.0
 
     def line(lo, limit, width, span, align=1):
         s = jnp.clip(
@@ -239,6 +247,22 @@ def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by,
     org = org.at[..., F_BZO].set(bzo)
     org = org.at[..., F_BYO].set(byo)
     org = org.at[:, 0, F_NG].set(ng_live)
+
+    # Written-row extents per group (hat-tap support +- margin): the
+    # backward flush RMWs only these rows. Dead groups get a neutral
+    # (hi < lo) range so session min/max tracking ignores them.
+    def ext(lo2, hi2, limit):
+        l_ = jnp.floor(jnp.min(lo2, axis=-1)).astype(jnp.int32) - 1
+        h_ = jnp.floor(jnp.max(hi2, axis=-1)).astype(jnp.int32) + 2
+        return (jnp.where(live, jnp.clip(l_, 0, limit), limit),
+                jnp.where(live, jnp.clip(h_, 0, limit), 0))
+
+    wzl, wzh = ext(zmin, zmax, Dp)
+    wyl, wyh = ext(ymin, ymax, Hp)
+    org = org.at[..., F_WZL].set(wzl)
+    org = org.at[..., F_WZH].set(wzh)
+    org = org.at[..., F_WYL].set(wyl)
+    org = org.at[..., F_WYH].set(wyh)
     return org
 
 
@@ -649,6 +673,7 @@ def _bwd_kernel(
     dv0_ref, dv1_ref, dv2_ref, dv3_ref, dtf_ref,
     brick_ref, sem, acc_ref, rmw_ref, sem2, dtfacc_ref,
     *, dims, ray_step, wz, wy, wx, n_phases, fast, shade=False,
+    flush_shape=None,
 ):
     del dv0_in_ref, dv1_in_ref, dv2_in_ref, dv3_in_ref  # aliased
     abl = _BWD_ABLATE
@@ -674,6 +699,8 @@ def _bwd_kernel(
         (pltpu.roll(lutl, TF_SIZE - 1, axis=1) - lutl) * TF_SIZE, 0.0)
     bz, by = brick_ref.shape[1], brick_ref.shape[2]
     az, ay = acc_ref.shape[0], acc_ref.shape[1]
+    fz, fy = rmw_ref.shape[0], rmw_ref.shape[1]
+    trimmed = (fz, fy) != (az, ay)
     ng_live = org_ref[0, 0, F_NG]
 
     @pl.when(pl.program_id(0) == 0)
@@ -695,21 +722,46 @@ def _bwd_kernel(
     def _():
         start_brick(0, 0)
 
-    def flush(azo, ayo, axo, aph):
+    def _flush_box(azo, ayo, wzl, wzh, wyl, wyh):
+        """Box offsets (within the accumulator) for the session's RMW,
+        plus the count of written rows the static (fz, fy) box cannot
+        cover (nonzero only for undersized pose-tuned ``flush`` shapes —
+        counted, never silently dropped)."""
+        zo = jnp.clip((wzl - azo) & ~7, 0, az - fz)
+        yo_ = jnp.clip((wyl - ayo) & ~7, 0, ay - fy)
+        lost = jnp.int32(0)
+        if trimmed:
+            lost = (
+                jnp.maximum(azo + zo - wzl, 0)
+                + jnp.maximum(wzh - (azo + zo + fz), 0)
+                + jnp.maximum(ayo + yo_ - wyl, 0)
+                + jnp.maximum(wyh - (ayo + yo_ + fy), 0))
+            # A neutral (empty) session has wzh <= wzl: nothing written.
+            lost = jnp.where(wzh > wzl, lost, 0)
+        return zo, yo_, lost
+
+    def flush(azo, ayo, axo, aph, zo, yo_):
+        """RMW the session's written box back into the HBM gradient
+        buffer, then re-zero exactly that box."""
         ayo = pl.multiple_of(ayo, 8)
         shift = wx // 2
+        zo = pl.multiple_of(zo, 8)
+        yo_ = pl.multiple_of(yo_, 8)
 
         def rmw(dv_ref, sx):
             sx = pl.multiple_of(sx, 128)
             rd = pltpu.make_async_copy(
-                dv_ref.at[pl.ds(azo, az), pl.ds(ayo, ay), pl.ds(sx, 128)],
+                dv_ref.at[pl.ds(azo + zo, fz), pl.ds(ayo + yo_, fy),
+                          pl.ds(sx, 128)],
                 rmw_ref, sem2)
             rd.start()
             rd.wait()
-            rmw_ref[...] = rmw_ref[...] + acc_ref[...]
+            rmw_ref[...] = rmw_ref[...] + acc_ref[
+                pl.ds(zo, fz), pl.ds(yo_, fy), :]
             wr = pltpu.make_async_copy(
                 rmw_ref,
-                dv_ref.at[pl.ds(azo, az), pl.ds(ayo, ay), pl.ds(sx, 128)],
+                dv_ref.at[pl.ds(azo + zo, fz), pl.ds(ayo + yo_, fy),
+                          pl.ds(sx, 128)],
                 sem2)
             wr.start()
             wr.wait()
@@ -719,10 +771,15 @@ def _bwd_kernel(
                 @pl.when(aph == p)
                 def _(p=p):
                     rmw(dv_refs[p], axo - shift * p)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        # Zero only the flushed box: rows outside it were never written
+        # with nonzero values (window rows beyond the tap support add
+        # exact zeros), so the accumulator stays all-zero inductively.
+        acc_ref[pl.ds(zo, fz), pl.ds(yo_, fy), :] = jnp.zeros(
+            (fz, fy, 128), jnp.float32)
 
     def body(carry):
-        (B, acca, fin, P, azo, ayo, axo, aph, have) = carry
+        (B, acca, fin, P, azo, ayo, axo, aph, have,
+         wzl, wzh, wyl, wyh, flost) = carry
         slot = B & 1
         wait_brick(B, slot)
 
@@ -734,18 +791,38 @@ def _bwd_kernel(
         byo = pl.multiple_of(org_ref[0, B, F_BYO], 8)
         xo = org_ref[0, B, F_XO]
 
+        # Session written-extent tracking: tentative merge with this
+        # group's extents (used if the session continues).
+        g_wzl = org_ref[0, B, F_WZL]
+        g_wzh = org_ref[0, B, F_WZH]
+        g_wyl = org_ref[0, B, F_WYL]
+        g_wyh = org_ref[0, B, F_WYH]
+        t_wzl = jnp.minimum(wzl, g_wzl)
+        t_wzh = jnp.maximum(wzh, g_wzh)
+        t_wyl = jnp.minimum(wyl, g_wyl)
+        t_wyh = jnp.maximum(wyh, g_wyh)
+
         # (Re)center the gradient accumulator when this group's windows
-        # leave its coverage (conservative bound: brick extent).
+        # leave its coverage (conservative bound: brick extent) OR when
+        # the merged written extent would outgrow the static flush box
+        # (guarantees lost == 0 whenever a single group's extent fits).
+        _, _, lost_cont = _flush_box(azo, ayo, t_wzl, t_wzh,
+                                     t_wyl, t_wyh)
         fits = (
             (have > 0)
             & (bzo >= azo) & (bzo + bz <= azo + az)
             & (byo >= ayo) & (byo + by <= ayo + ay)
             & (xo == axo)
+            & (lost_cont == 0)
         )
 
-        @pl.when(jnp.logical_not(fits) & (have > 0))
+        do_flush = jnp.logical_not(fits) & (have > 0)
+        fzo, fyo, lost = _flush_box(azo, ayo, wzl, wzh, wyl, wyh)
+        flost = flost + jnp.where(do_flush, lost, 0)
+
+        @pl.when(do_flush)
         def _():
-            flush(azo, ayo, axo, aph)
+            flush(azo, ayo, axo, aph, fzo, fyo)
 
         Dp = v0_ref.shape[0]
         Hp = v0_ref.shape[1]
@@ -756,6 +833,11 @@ def _bwd_kernel(
         axo = jnp.where(fits, axo, xo)
         aph = jnp.where(fits, aph, org_ref[0, B, F_PH])
         have = jnp.int32(1)
+
+        wzl = jnp.where(fits, t_wzl, g_wzl)
+        wzh = jnp.where(fits, t_wzh, g_wzh)
+        wyl = jnp.where(fits, t_wyl, g_wyl)
+        wyh = jnp.where(fits, t_wyh, g_wyh)
 
         tx, ty, tz, m_ana, pw = _geometry(rays, B, ray_step, dims)
 
@@ -915,7 +997,8 @@ def _bwd_kernel(
             fin = jnp.maximum(
                 fin, m_ana[g:g + 1] * (acca > thr).astype(jnp.float32))
             P = P_new
-        return (B + 1, acca, fin, P, azo, ayo, axo, aph, have)
+        return (B + 1, acca, fin, P, azo, ayo, axo, aph, have,
+                wzl, wzh, wyl, wyh, flost)
 
     def cond(carry):
         B, fin = carry[0], carry[2]
@@ -924,19 +1007,32 @@ def _bwd_kernel(
     z = jnp.zeros((1, R), jnp.float32)
     zi = jnp.int32(0)
     res = jax.lax.while_loop(
-        cond, body, (0, z, 1.0 - alive0, z, zi, zi, zi, zi, zi))
+        cond, body, (0, z, 1.0 - alive0, z, zi, zi, zi, zi, zi,
+                     zi, zi, zi, zi, zi))
     B_exit = res[0]
     azo, ayo, axo, aph, have = res[4], res[5], res[6], res[7], res[8]
+    wzl, wzh, wyl, wyh, flost = res[9], res[10], res[11], res[12], res[13]
 
     @pl.when(B_exit < ng_live)
     def _():
         wait_brick(B_exit, B_exit & 1)
 
+    fzo, fyo, lost = _flush_box(azo, ayo, wzl, wzh, wyl, wyh)
+    flost = flost + jnp.where(have > 0, lost, 0)
+
     @pl.when(have > 0)
     def _():
-        flush(azo, ayo, axo, aph)
+        flush(azo, ayo, axo, aph, fzo, fyo)
 
     dtf_ref[...] += dtfacc_ref[...]
+    if trimmed:
+        # Surface the flush-clip count through the (otherwise zero) TF
+        # padding column: dtf[0, 7] accumulates lost-row counts.
+        mask = ((jax.lax.broadcasted_iota(jnp.int32, (TF_SIZE, 8), 0)
+                 == 0)
+                & (jax.lax.broadcasted_iota(jnp.int32, (TF_SIZE, 8), 1)
+                   == 7)).astype(jnp.float32)
+        dtf_ref[...] += mask * flost.astype(jnp.float32)
 
 
 def _brick_shape(vol_shape, wz, wy):
@@ -993,7 +1089,7 @@ def _pallas_fwd(scal, org, rays_t, vols, tfl, *, dims, ray_step,
 
 
 def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
-                window, fast, shade=False):
+                window, fast, shade=False, flush=None):
     t = rays_t.shape[0]
     ngr = org.shape[1]
     wz, wy, wx = window
@@ -1001,6 +1097,11 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
     v4 = list(vols) + [vols[0]] * (4 - n_phases)
     bz, by = _brick_shape(v4[0].shape, wz, wy)
     az, ay = _acc_shape(v4[0].shape, wz, wy)
+    if flush is None:
+        fz, fy = az, ay
+    else:
+        fz = min(-(-int(flush[0]) // 8) * 8, az)
+        fy = min(-(-int(flush[1]) // 8) * 8, ay)
     lutl = jnp.pad(tfl[:, :4].T, ((0, 4), (0, 0)))  # (8, TF_SIZE)
     kernel = functools.partial(
         _bwd_kernel, dims=dims, ray_step=ray_step, wz=wz, wy=wy, wx=wx,
@@ -1048,7 +1149,7 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
             pltpu.VMEM((2, bz, by, 128), v4[0].dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((az, ay, 128), jnp.float32),
-            pltpu.VMEM((az, ay, 128), jnp.float32),
+            pltpu.VMEM((fz, fy, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM(tfl.shape, jnp.float32),
         ],
@@ -1065,9 +1166,10 @@ def _pack_gG(g, out):
         [g[:, :4], gt, jnp.zeros_like(g[:, :3])], axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def render_tiles_v3(scal, org, rays_t, vols, tfl,
-                    dims, ray_step, window, fast=False, shade=False):
+                    dims, ray_step, window, fast=False, shade=False,
+                    flush=None):
     """Differentiable v3 tile render.
 
     Inputs: ``rays_t (T, C, R)`` lane-major ray tiles, ``org`` planned
@@ -1075,6 +1177,9 @@ def render_tiles_v3(scal, org, rays_t, vols, tfl,
     ``tfl (TF_SIZE, 8)`` premultiplied TF (cols 0..3).
     Output ``(T, 8, R)``: rows 0..3 premultiplied RGBA, row 4 per-ray
     window-overflow count. Differentiable w.r.t. vols/tfl.
+    ``flush``: static (fz, fy) backward RMW box (None = full
+    accumulator); undersized boxes are detected via the dTF cotangent's
+    padding cell [0, 7] (clipped-row count, zero when sized right).
     """
     return _pallas_fwd(
         scal, org, rays_t, vols, tfl,
@@ -1083,7 +1188,7 @@ def render_tiles_v3(scal, org, rays_t, vols, tfl,
 
 
 def _fwd_rule(scal, org, rays_t, vols, tfl, dims, ray_step, window,
-              fast=False, shade=False):
+              fast=False, shade=False, flush=None):
     out = _pallas_fwd(
         scal, org, rays_t, vols, tfl,
         dims=dims, ray_step=ray_step, window=window, fast=fast,
@@ -1091,12 +1196,12 @@ def _fwd_rule(scal, org, rays_t, vols, tfl, dims, ray_step, window,
     return out, (scal, org, rays_t, vols, tfl, out)
 
 
-def _bwd_rule(dims, ray_step, window, fast, shade, res, g):
+def _bwd_rule(dims, ray_step, window, fast, shade, flush, res, g):
     scal, org, rays_t, vols, tfl, out = res
     dvs, dtf = _pallas_bwd(
         scal, org, rays_t, vols, tfl, _pack_gG(g, out),
         dims=dims, ray_step=ray_step, window=window, fast=fast,
-        shade=shade)
+        shade=shade, flush=flush)
     return (jnp.zeros_like(scal), jnp.zeros_like(org),
             jnp.zeros_like(rays_t), tuple(dvs), dtf)
 
@@ -1135,7 +1240,7 @@ def _phase_volumes(density, wx):
 
 def render_image_v3(scene, view, ray_threshold=0.95,
                     window=None, fast=False, esl=False,
-                    light_kd=0.0, shaded=False):
+                    light_kd=0.0, shaded=False, flush=None):
     """Differentiable render -> ``f32[H, W, 4]`` via the v3 kernels.
 
     Semantics match diff.render.render_diff_image (including ``esl`` and
@@ -1144,12 +1249,12 @@ def render_image_v3(scene, view, ray_threshold=0.95,
     """
     return render_image_v3_with_ovf(
         scene, view, ray_threshold, window, fast, esl,
-        light_kd, shaded)[0]
+        light_kd, shaded, flush)[0]
 
 
 def render_image_v3_with_ovf(scene, view, ray_threshold=0.95,
                              window=None, fast=False, esl=False,
-                             light_kd=0.0, shaded=False):
+                             light_kd=0.0, shaded=False, flush=None):
     """As render_image_v3 but also returns the total overflow count."""
     d, h, w = scene.density.shape
     dims = (w, h, d)
@@ -1168,13 +1273,13 @@ def render_image_v3_with_ovf(scene, view, ray_threshold=0.95,
     return render_view_v3(
         scene.density, premult, scene.ray_step, view,
         ray_threshold=ray_threshold, window=window, fast=fast,
-        esl_fn=esl_fn, light_kd=light_kd, shaded=shaded)
+        esl_fn=esl_fn, light_kd=light_kd, shaded=shaded, flush=flush)
 
 
 def render_view_v3(density, premult_tf, ray_step, view,
                    ray_threshold=0.95, window=None, fast=False,
                    esl_fn=None, light_kd=0.0, shaded=False,
-                   phong=False):
+                   phong=False, flush=None):
     """Premult-level v3 render -> (f32[H, W, 4], overflow count).
 
     ``density`` is the float grid (D, H, W); ``premult_tf`` the
@@ -1225,7 +1330,8 @@ def render_view_v3(density, premult_tf, ray_step, view,
     else:
         out = render_tiles_v3(
             scal, org, rays_t, vols, tfl, dims, ray_step,
-            window, fast, bool(shaded))
+            window, fast, bool(shaded),
+            None if flush is None else tuple(flush))
     colors = jnp.swapaxes(out[:, :4, :], 1, 2)    # (T, R, 4)
     img = layout.untile_rays(colors, wv, hv, tile_w=TILE, tile_h=TILE)
     return img, jnp.sum(out[:, 4, :])
