@@ -31,8 +31,10 @@ def main() -> int:
     # overflow-free on hardware; see diff_v3.default_window for the
     # general-view derivation).
     window = (16, 24, 128) if backend != "cpu" else None
+    flush = (32, 16) if backend != "cpu" else None
     m = bench_diff_step(
-        volume_size=size, viewport=viewport, iters=iters, window=window)
+        volume_size=size, viewport=viewport, iters=iters, window=window,
+        flush=flush)
     print(json.dumps({
         "metric": "diff_fwd_bwd_ray_steps_per_s",
         "value": m["ray_steps_per_s"],

@@ -236,6 +236,7 @@ def bench_diff_step(
     iters: int = 10,
     fused: bool = True,
     window: tuple[int, int] | None = None,
+    flush: tuple[int, int] | None = None,
 ) -> dict:
     """Benchmark one differentiable forward+backward step (loss+grads) —
     the BASELINE.md headline metric: rays*steps/s for fwd+bwd.
@@ -274,7 +275,8 @@ def bench_diff_step(
         # (threshold 2.0) so the step count below reflects actual work.
         def loss_fn(scene, view, target):
             img = render_image_fused(
-                scene, view, ray_threshold=2.0, fast=True, window=window
+                scene, view, ray_threshold=2.0, fast=True, window=window,
+                flush=flush
             )
             return jnp.mean((img - target) ** 2)
     else:

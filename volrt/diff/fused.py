@@ -64,6 +64,7 @@ def render_image_fused(
     blocked: bool | None = None,
     fast: bool = False,
     esl: bool = False,
+    flush: tuple[int, int] | None = None,
 ) -> jax.Array:
     """Differentiable render -> ``f32[H, W, 4]`` (fused Pallas fwd/bwd).
 
@@ -81,7 +82,7 @@ def render_image_fused(
 
         return render_image_v3(
             scene, view, ray_threshold=ray_threshold,
-            window=window, fast=fast, esl=esl)
+            window=window, fast=fast, esl=esl, flush=flush)
     if esl:
         raise NotImplementedError(
             "esl=True requires the v3 path (this view falls outside its "

@@ -453,13 +453,22 @@ def _tf_gather(sv8, ovf8, lutl):
 def _fwd_kernel(
     scal_ref, org_ref, rays_ref, v0_ref, v1_ref, v2_ref, v3_ref,
     tfl_ref, lutl_ref,
-    out_ref,
-    brick_ref, sem,
-    *, dims, ray_step, wz, wy, wx, n_phases, fast, shade=False,
-    slab=False, phong=False,
+    out_ref, *rest,
+    dims, ray_step, wz, wy, wx, n_phases, fast, shade=False,
+    slab=False, phong=False, save_sv=False,
 ):
+    # rest = [sv_ref[, sv2_ref]] (save_sv outputs), brick scratch, sem.
+    i = 0
+    sv_ref = sv2_ref = None
+    if save_sv:
+        sv_ref = rest[i]
+        i += 1
+        if shade:
+            sv2_ref = rest[i]
+            i += 1
+    brick_ref, sem = rest[i], rest[i + 1]
     del tfl_ref  # forward uses the lane-major LUT
-    dtype = jnp.float32
+    dtype = v0_ref.dtype
     prec = (jax.lax.Precision.DEFAULT if fast
             else jax.lax.Precision.HIGHEST)
     vol_refs = [v0_ref, v1_ref, v2_ref, v3_ref][:n_phases]
@@ -542,7 +551,7 @@ def _fwd_kernel(
                 wzw = jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lz))
                 wmat_dy = (jnp.broadcast_to(
                     wzw[:, None, :], (wz, wy, R)).reshape(wz * wy, R)
-                    * pltpu.repeat(yw_d, wz, axis=0))
+                    * pltpu.repeat(yw_d, wz, axis=0)).astype(dtype)
                 gy = jnp.sum(jax.lax.dot_general(
                     bview, wmat_dy, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -558,7 +567,7 @@ def _fwd_kernel(
                 wyw = jnp.maximum(0.0, 1.0 - jnp.abs(yrow - ly))
                 wmat_dz = (jnp.broadcast_to(
                     zw_d[:, None, :], (wz, wy, R)).reshape(wz * wy, R)
-                    * pltpu.repeat(wyw, wz, axis=0))
+                    * pltpu.repeat(wyw, wz, axis=0)).astype(dtype)
                 gz = jnp.sum(jax.lax.dot_general(
                     bview, wmat_dz, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -677,7 +686,7 @@ def _bwd_kernel(
 ):
     del dv0_in_ref, dv1_in_ref, dv2_in_ref, dv3_in_ref  # aliased
     abl = _BWD_ABLATE
-    dtype = jnp.float32
+    dtype = v0_ref.dtype
     prec = (jax.lax.Precision.DEFAULT if fast
             else jax.lax.Precision.HIGHEST)
     vol_refs = [v0_ref, v1_ref, v2_ref, v3_ref][:n_phases]
@@ -1214,10 +1223,19 @@ render_tiles_v3.defvjp(_fwd_rule, _bwd_rule)
 # ---------------------------------------------------------------------------
 
 
-def _phase_volumes(density, wx):
+def _phase_volumes(density, wx, storage=None):
     """Pad the density grid and build the x-phase copies: copy p is the
     volume shifted left by ``p * wx//2`` voxels, so every
-    (wx//2)-aligned window origin is 128-aligned in one copy."""
+    (wx//2)-aligned window origin is 128-aligned in one copy.
+
+    ``storage`` (e.g. ``jnp.bfloat16`` under ``fast=True``) sets the HBM
+    dtype of the copies — and therefore the brick DMA width. fast mode's
+    MXU passes truncate volume operands to bf16 regardless, so bf16
+    storage is numerically identical there while halving DMA traffic
+    (the analog of the reference's 8-bit 3D textures,
+    GPURenderer4.cu:115-143). Autodiff casts gradients back to f32."""
+    if storage is not None:
+        density = density.astype(storage)
     d, h, w = density.shape
     shift = wx // 2
     dp = -(-d // 8) * 8
@@ -1314,7 +1332,9 @@ def render_view_v3(density, premult_tf, ray_step, view,
 
     # Phase copies participate in autodiff: the vjp returns per-phase
     # cotangents that recombine through these XLA ops automatically.
-    vols = _phase_volumes(density, window[2])
+    vols = _phase_volumes(
+        density, window[2],
+        storage=jnp.bfloat16 if fast else None)
     bz, by = _brick_shape(vols[0].shape, window[0], window[1])
     org = plan_windows(
         tiles, dims, vols[0].shape, ray_step, window[0], window[1],
@@ -1396,7 +1416,9 @@ def render_slab_v3(slab_density, premult_tf, ray_step, view,
         jnp.float32(0.0), z_off, jnp.float32(0.0), jnp.float32(0.0),
     ]).reshape(1, 8)
 
-    vols = _phase_volumes(slab_density, window[2])
+    vols = _phase_volumes(
+        slab_density, window[2],
+        storage=jnp.bfloat16 if fast else None)
     bz, by = _brick_shape(vols[0].shape, window[0], window[1])
     org = plan_windows(
         tiles, dims, vols[0].shape, ray_step, window[0], window[1],
