@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -581,9 +582,16 @@ def _fwd_kernel(
                 ovfs[-1] = ovfs[-1] + ovf2.astype(jnp.float32)
         sv8 = jnp.concatenate(svals, axis=0)     # (G, R)
         ovf8 = jnp.concatenate(ovfs, axis=0)
+        if save_sv:
+            # Stream the group's sampled values to HBM: the backward
+            # reads them instead of replaying the gather matmuls (and
+            # needs no brick DMA at all) — bit-identical in every mode.
+            sv_ref[0, pl.ds(B * G, G), :] = sv8
         (cr8, cg8, cb8, ca8), _ = _tf_gather(sv8, ovf8, lutl)
         if shade:
             sv8_2 = jnp.concatenate(svals2, axis=0)
+            if save_sv:
+                sv2_ref[0, pl.ds(B * G, G), :] = sv8_2
             kd = scal_ref[0, 1]
             dshade8 = (sv8_2 - sv8) * kd  # gated per band below
 
@@ -679,11 +687,30 @@ def _bwd_kernel(
     scal_ref, org_ref, rays_ref, v0_ref, v1_ref, v2_ref, v3_ref,
     tfl_ref, lutl_ref,
     g_ref, dv0_in_ref, dv1_in_ref, dv2_in_ref, dv3_in_ref,
-    dv0_ref, dv1_ref, dv2_ref, dv3_ref, dtf_ref,
-    brick_ref, sem, acc_ref, rmw_ref, sem2, dtfacc_ref,
-    *, dims, ray_step, wz, wy, wx, n_phases, fast, shade=False,
-    flush_shape=None,
+    *rest,
+    dims, ray_step, wz, wy, wx, n_phases, fast, shade=False,
+    flush_shape=None, have_sv=False, brick_shape=None,
 ):
+    # rest = [sv_in(, sv2_in)] (have_sv inputs), dv0..dv3, dtf outputs,
+    # [brick scratch, sem] (replay mode only), acc, rmw, sem2, dtfacc.
+    i = 0
+    sv_in_ref = sv2_in_ref = None
+    if have_sv:
+        sv_in_ref = rest[i]
+        i += 1
+        if shade:
+            sv2_in_ref = rest[i]
+            i += 1
+    dv0_ref, dv1_ref, dv2_ref, dv3_ref, dtf_ref = rest[i:i + 5]
+    i += 5
+    if have_sv:
+        brick_ref = sem = None
+        bz, by = brick_shape
+    else:
+        brick_ref, sem = rest[i], rest[i + 1]
+        i += 2
+        bz, by = brick_ref.shape[1], brick_ref.shape[2]
+    acc_ref, rmw_ref, sem2, dtfacc_ref = rest[i:i + 4]
     del dv0_in_ref, dv1_in_ref, dv2_in_ref, dv3_in_ref  # aliased
     abl = _BWD_ABLATE
     dtype = v0_ref.dtype
@@ -706,7 +733,6 @@ def _bwd_kernel(
     slopel = jnp.where(
         lane_idx < TF_SIZE - 1,
         (pltpu.roll(lutl, TF_SIZE - 1, axis=1) - lutl) * TF_SIZE, 0.0)
-    bz, by = brick_ref.shape[1], brick_ref.shape[2]
     az, ay = acc_ref.shape[0], acc_ref.shape[1]
     fz, fy = rmw_ref.shape[0], rmw_ref.shape[1]
     trimmed = (fz, fy) != (az, ay)
@@ -719,17 +745,18 @@ def _bwd_kernel(
     dtfacc_ref[...] = jnp.zeros_like(dtfacc_ref)
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    def start_brick(B, slot):
-        _brick_dma(vol_refs, brick_ref.at[slot], sem.at[slot],
-                   org_ref, B, bz, by, wx)[0]()
+    if not have_sv:
+        def start_brick(B, slot):
+            _brick_dma(vol_refs, brick_ref.at[slot], sem.at[slot],
+                       org_ref, B, bz, by, wx)[0]()
 
-    def wait_brick(B, slot):
-        _brick_dma(vol_refs, brick_ref.at[slot], sem.at[slot],
-                   org_ref, B, bz, by, wx)[1]()
+        def wait_brick(B, slot):
+            _brick_dma(vol_refs, brick_ref.at[slot], sem.at[slot],
+                       org_ref, B, bz, by, wx)[1]()
 
-    @pl.when(ng_live > 0)
-    def _():
-        start_brick(0, 0)
+        @pl.when(ng_live > 0)
+        def _():
+            start_brick(0, 0)
 
     def _flush_box(azo, ayo, wzl, wzh, wyl, wyh):
         """Box offsets (within the accumulator) for the session's RMW,
@@ -790,11 +817,12 @@ def _bwd_kernel(
         (B, acca, fin, P, azo, ayo, axo, aph, have,
          wzl, wzh, wyl, wyh, flost) = carry
         slot = B & 1
-        wait_brick(B, slot)
+        if not have_sv:
+            wait_brick(B, slot)
 
-        @pl.when(B + 1 < ng_live)
-        def _():
-            start_brick(B + 1, (B + 1) & 1)
+            @pl.when(B + 1 < ng_live)
+            def _():
+                start_brick(B + 1, (B + 1) & 1)
 
         bzo = org_ref[0, B, F_BZO]
         byo = pl.multiple_of(org_ref[0, B, F_BYO], 8)
@@ -850,30 +878,37 @@ def _bwd_kernel(
 
         tx, ty, tz, m_ana, pw = _geometry(rays, B, ray_step, dims)
 
-        # Pass 1: the group's samples (lane-major).
+        # Pass 1: the group's samples (lane-major) — read back from the
+        # forward's streamed HBM copy when available (have_sv), else
+        # replay the gather matmuls against the brick.
         if shade:
             tx2, ty2, tz2 = _light_coords(pw, scal_ref, dims)
-        svals, svals2 = [], []
-        for g in range(G):
-            z0g, y0g = _band_scalars(
-                org_ref, B, g, bzo, byo, bz, by, wz, wy)
-            bview = brick_ref[
-                slot, pl.ds(z0g - bzo, wz),
-                pl.ds(pl.multiple_of((y0g - byo) & ~7, 8), wy), :
-            ].reshape(wz * wy, 128)[:, :wx]
-            if "pass1" in abl:
-                sval = tz[g:g + 1] * 1e-8
-            else:
-                sval, _, _ = _band_sample(
-                    bview, (zrow, yrow, xrow), tx, ty, tz, z0g, y0g, xo,
-                    g, wz, wy, wx, dtype, prec)
-            svals.append(sval)
+        if have_sv:
+            sv8 = sv_in_ref[0, pl.ds(B * G, G), :]
             if shade:
-                sval2, _, _ = _band_sample(
-                    bview, (zrow, yrow, xrow), tx2, ty2, tz2, z0g, y0g,
-                    xo, g, wz, wy, wx, dtype, prec)
-                svals2.append(sval2)
-        sv8 = jnp.concatenate(svals, axis=0)
+                sv8_2_saved = sv2_in_ref[0, pl.ds(B * G, G), :]
+        else:
+            svals, svals2 = [], []
+            for g in range(G):
+                z0g, y0g = _band_scalars(
+                    org_ref, B, g, bzo, byo, bz, by, wz, wy)
+                bview = brick_ref[
+                    slot, pl.ds(z0g - bzo, wz),
+                    pl.ds(pl.multiple_of((y0g - byo) & ~7, 8), wy), :
+                ].reshape(wz * wy, 128)[:, :wx]
+                if "pass1" in abl:
+                    sval = tz[g:g + 1] * 1e-8
+                else:
+                    sval, _, _ = _band_sample(
+                        bview, (zrow, yrow, xrow), tx, ty, tz, z0g, y0g,
+                        xo, g, wz, wy, wx, dtype, prec)
+                svals.append(sval)
+                if shade:
+                    sval2, _, _ = _band_sample(
+                        bview, (zrow, yrow, xrow), tx2, ty2, tz2, z0g,
+                        y0g, xo, g, wz, wy, wx, dtype, prec)
+                    svals2.append(sval2)
+            sv8 = jnp.concatenate(svals, axis=0)
         (cr8, cg8, cb8, ca8), (tt8, lo8, rng8) = _tf_gather(
             sv8, None, lutl)
         # Batched slope gathers (replaces a per-band d(one-hot) matmul).
@@ -893,7 +928,8 @@ def _bwd_kernel(
                               if len(parts) > 1 else parts[0])
 
         if shade:
-            sv8_2 = jnp.concatenate(svals2, axis=0)
+            sv8_2 = (sv8_2_saved if have_sv
+                     else jnp.concatenate(svals2, axis=0))
             kd = scal_ref[0, 1]
 
         # Pass 2: sequential composite + cotangents + gradient matmuls.
@@ -1022,9 +1058,10 @@ def _bwd_kernel(
     azo, ayo, axo, aph, have = res[4], res[5], res[6], res[7], res[8]
     wzl, wzh, wyl, wyh, flost = res[9], res[10], res[11], res[12], res[13]
 
-    @pl.when(B_exit < ng_live)
-    def _():
-        wait_brick(B_exit, B_exit & 1)
+    if not have_sv:
+        @pl.when(B_exit < ng_live)
+        def _():
+            wait_brick(B_exit, B_exit & 1)
 
     fzo, fyo, lost = _flush_box(azo, ayo, wzl, wzh, wyl, wyh)
     flost = flost + jnp.where(have > 0, lost, 0)
@@ -1058,7 +1095,8 @@ def _acc_shape(vol_shape, wz, wy):
 
 
 def _pallas_fwd(scal, org, rays_t, vols, tfl, *, dims, ray_step,
-                window, fast, shade=False, slab=False, phong=False):
+                window, fast, shade=False, slab=False, phong=False,
+                save_sv=False):
     t = rays_t.shape[0]
     ngr = org.shape[1]
     wz, wy, wx = window
@@ -1069,8 +1107,18 @@ def _pallas_fwd(scal, org, rays_t, vols, tfl, *, dims, ray_step,
     kernel = functools.partial(
         _fwd_kernel, dims=dims, ray_step=ray_step, wz=wz, wy=wy, wx=wx,
         n_phases=n_phases, fast=fast, shade=shade, slab=slab,
-        phong=phong)
-    return pl.pallas_call(
+        phong=phong, save_sv=save_sv)
+    out_specs = [pl.BlockSpec((1, 8, R), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((t, 8, R), jnp.float32)]
+    n_sv = (1 + int(shade)) if save_sv else 0
+    for _ in range(n_sv):
+        out_specs.append(pl.BlockSpec(
+            (1, ngr * G, R), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((t, ngr * G, R), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=(t,),
         in_specs=[
@@ -1086,19 +1134,20 @@ def _pallas_fwd(scal, org, rays_t, vols, tfl, *, dims, ray_step,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, R), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, 8, R), jnp.float32),
+        out_specs=tuple(out_specs) if save_sv else out_specs[0],
+        out_shape=tuple(out_shape) if save_sv else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((2, bz, by, 128), v4[0].dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret_mode(),
     )(scal, org, rays_t, *v4, tfl, lutl)
+    return outs
 
 
 def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
-                window, fast, shade=False, flush=None):
+                window, fast, shade=False, flush=None, sv=None,
+                sv2=None):
     t = rays_t.shape[0]
     ngr = org.shape[1]
     wz, wy, wx = window
@@ -1111,16 +1160,20 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
     else:
         fz = min(-(-int(flush[0]) // 8) * 8, az)
         fy = min(-(-int(flush[1]) // 8) * 8, ay)
+    have_sv = sv is not None
     lutl = jnp.pad(tfl[:, :4].T, ((0, 4), (0, 0)))  # (8, TF_SIZE)
     kernel = functools.partial(
         _bwd_kernel, dims=dims, ray_step=ray_step, wz=wz, wy=wy, wx=wx,
-        n_phases=n_phases, fast=fast, shade=shade)
+        n_phases=n_phases, fast=fast, shade=shade, have_sv=have_sv,
+        brick_shape=(bz, by))
     vshape = v4[0].shape
-    dv_inits = [jnp.zeros(vshape, jnp.float32) for _ in range(4)]
-    outs = pl.pallas_call(
-        kernel,
-        grid=(t,),
-        in_specs=[
+    # Unused phase slots get token-sized buffers (the kernel touches only
+    # dv_refs[:n_phases]) — at 512^3 full-size zeros here waste ~1.2 GB.
+    dv_shapes = [vshape if p < n_phases else (8, 8, 128)
+                 for p in range(4)]
+    dv_inits = [jnp.zeros(s, jnp.float32) for s in dv_shapes]
+    sv_ins = [x for x in (sv, sv2) if x is not None]
+    in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, ngr, ORG_C), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -1138,7 +1191,15 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-        ],
+    ] + [
+        pl.BlockSpec((1, ngr * G, R), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in sv_ins
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -1148,15 +1209,13 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct(vshape, jnp.float32),
-            jax.ShapeDtypeStruct(vshape, jnp.float32),
-            jax.ShapeDtypeStruct(vshape, jnp.float32),
-            jax.ShapeDtypeStruct(vshape, jnp.float32),
+            *(jax.ShapeDtypeStruct(s, jnp.float32) for s in dv_shapes),
             jax.ShapeDtypeStruct(tfl.shape, jnp.float32),
         ),
-        scratch_shapes=[
+        scratch_shapes=([] if have_sv else [
             pltpu.VMEM((2, bz, by, 128), v4[0].dtype),
             pltpu.SemaphoreType.DMA((2,)),
+        ]) + [
             pltpu.VMEM((az, ay, 128), jnp.float32),
             pltpu.VMEM((fz, fy, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -1164,7 +1223,7 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
         ],
         input_output_aliases={10: 0, 11: 1, 12: 2, 13: 3},
         interpret=interpret_mode(),
-    )(scal, org, rays_t, *v4, tfl, lutl, gG, *dv_inits)
+    )(scal, org, rays_t, *v4, tfl, lutl, gG, *dv_inits, *sv_ins)
     return outs[:n_phases], outs[4]
 
 
@@ -1196,21 +1255,36 @@ def render_tiles_v3(scal, org, rays_t, vols, tfl,
         shade=shade)
 
 
+def _sv_limit_bytes() -> int:
+    """HBM budget for the forward's streamed sample values (sv). Above
+    this the backward falls back to replaying the gather matmuls (the
+    512^3/2048^2 config's sv would be ~10 GB)."""
+    return int(os.environ.get("VOLRT_SV_LIMIT_MB", "4096")) * (1 << 20)
+
+
+def _use_sv(t, ngr, shade) -> bool:
+    return t * ngr * G * R * 4 * (1 + int(shade)) <= _sv_limit_bytes()
+
+
 def _fwd_rule(scal, org, rays_t, vols, tfl, dims, ray_step, window,
               fast=False, shade=False, flush=None):
-    out = _pallas_fwd(
+    save_sv = _use_sv(rays_t.shape[0], org.shape[1], shade)
+    outs = _pallas_fwd(
         scal, org, rays_t, vols, tfl,
         dims=dims, ray_step=ray_step, window=window, fast=fast,
-        shade=shade)
-    return out, (scal, org, rays_t, vols, tfl, out)
+        shade=shade, save_sv=save_sv)
+    out, svs = (outs[0], tuple(outs[1:])) if save_sv else (outs, ())
+    return out, (scal, org, rays_t, vols, tfl, out, svs)
 
 
 def _bwd_rule(dims, ray_step, window, fast, shade, flush, res, g):
-    scal, org, rays_t, vols, tfl, out = res
+    scal, org, rays_t, vols, tfl, out, svs = res
     dvs, dtf = _pallas_bwd(
         scal, org, rays_t, vols, tfl, _pack_gG(g, out),
         dims=dims, ray_step=ray_step, window=window, fast=fast,
-        shade=shade, flush=flush)
+        shade=shade, flush=flush,
+        sv=svs[0] if svs else None,
+        sv2=svs[1] if len(svs) > 1 else None)
     return (jnp.zeros_like(scal), jnp.zeros_like(org),
             jnp.zeros_like(rays_t), tuple(dvs), dtf)
 
