@@ -283,3 +283,33 @@ class TestV3FlushTrim:
 
         assert run((16, 16)) == 0.0
         assert run((8, 8)) > 0.0
+
+
+class TestChunkedGrads:
+    def test_chunked_matches_whole(self):
+        """Chunk-accumulated loss+grads == whole-image value_and_grad
+        (the loss is additive over tiles; reference for the 512^3-scale
+        path where full-image sv exceeds HBM)."""
+        from volrt.renderers.pallas.diff_v3 import loss_grads_v3_chunked
+
+        scene, view = setup(n=16, wh=48)
+        target = jnp.zeros((48, 48, 4), jnp.float32)
+
+        def whole(s):
+            img = render_image_v3(s, view, ray_threshold=2.0)
+            return jnp.mean((img - target) ** 2)
+
+        l_ref, g_ref = jax.value_and_grad(whole)(scene)
+        for n_chunks in (1, 3, 4):
+            l_c, g_c = jax.jit(
+                lambda s: loss_grads_v3_chunked(
+                    s, view, target, n_chunks, ray_threshold=2.0)
+            )(scene)
+            np.testing.assert_allclose(
+                float(l_c), float(l_ref), rtol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(g_c.density), np.asarray(g_ref.density),
+                atol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(g_c.tf_base), np.asarray(g_ref.tf_base),
+                atol=1e-6)

@@ -55,3 +55,29 @@ class TestFusedBackward:
 
         with pytest.raises(ValueError, match="W <= 128"):
             render_image_fused(wide, view, blocked=False)
+
+
+def test_fit_grad_chunks_trains():
+    """fit(grad_chunks=2) goes through the chunked loss+grads path and
+    reduces the loss (512^3-scale HBM-bounded training, small here)."""
+    import jax.numpy as jnp
+
+    from tests.conftest import synthetic_volume
+    from volrt.core.tf import default_transfer_fn
+    from volrt.core.view import Camera
+    from volrt.diff.render import DiffScene, scene_from_volume
+    from volrt.diff.render import render_diff_image
+    from volrt.train.fit import fit
+
+    vol = synthetic_volume(12)
+    gt = scene_from_volume(jnp.asarray(vol), default_transfer_fn(), 0.15)
+    cam = Camera(dims=(32, 32))
+    cam.set_camera_position((30.0, 20.0, 0.0))
+    view = cam.view()
+    target = render_diff_image(gt, view)
+    scene = DiffScene(
+        density=jnp.full(vol.shape, 0.3, jnp.float32),
+        tf_base=default_transfer_fn(), ray_step=0.15)
+    _, losses = fit(scene, [(view, target)], steps=3, lr=0.05,
+                    train_tf=False, fused=True, grad_chunks=2)
+    assert losses[-1] < losses[0]

@@ -237,6 +237,7 @@ def bench_diff_step(
     fused: bool = True,
     window: tuple[int, int] | None = None,
     flush: tuple[int, int] | None = None,
+    chunks: int | None = None,
 ) -> dict:
     """Benchmark one differentiable forward+backward step (loss+grads) —
     the BASELINE.md headline metric: rays*steps/s for fwd+bwd.
@@ -287,7 +288,17 @@ def bench_diff_step(
 
             img = render_diff_image(scene, view, ray_threshold=2.0)
             return jnp.mean((img - target) ** 2)
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    if chunks:
+        # Chunked gradient accumulation: one chunk's streamed sv resident
+        # at a time — lets 512^3/2048^2-scale configs use the no-replay
+        # backward (see diff_v3.loss_grads_v3_chunked).
+        from volrt.renderers.pallas.diff_v3 import loss_grads_v3_chunked
+
+        grad_fn = jax.jit(lambda s, v, t: loss_grads_v3_chunked(
+            s, v, t, chunks, ray_threshold=2.0, fast=True,
+            window=window, flush=flush))
+    else:
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
 
     def sync(x):
         # device_get of a dependent scalar: block_until_ready alone can

@@ -232,6 +232,7 @@ def cmd_fit(args) -> int:
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
         fused=args.fused,
+        grad_chunks=args.grad_chunks,
     )
     if losses:
         log.log_time("final loss %.6f", losses[-1])
@@ -316,6 +317,9 @@ def main(argv=None) -> int:
     p.add_argument("--fused", action="store_true",
                    help="train through the fused Pallas kernels (TPU "
                    "fast path)")
+    p.add_argument("--grad-chunks", type=int, default=0,
+                   help="accumulate gradients over N ray-tile chunks "
+                   "(fused only; keeps 512^3-scale backward in HBM)")
     p.add_argument("--log", default="volrt.log")
     p.set_defaults(fn=cmd_fit)
 

@@ -1368,6 +1368,89 @@ def render_image_v3_with_ovf(scene, view, ray_threshold=0.95,
         esl_fn=esl_fn, light_kd=light_kd, shaded=shaded, flush=flush)
 
 
+def loss_grads_v3_chunked(scene, view, target, n_chunks,
+                          ray_threshold=0.95, window=None, fast=False,
+                          flush=None, light_kd=0.0, shaded=False):
+    """Full-image MSE loss + scene gradients, accumulated over ray-tile
+    chunks -> ``(loss, grads)`` (grads a DiffScene-shaped pytree).
+
+    Mathematically identical to
+    ``value_and_grad(lambda s: mean((render_image_v3(s, view, ...) -
+    target) ** 2))`` — the loss is additive over tiles, so per-chunk
+    gradients sum exactly — but each chunk's forward+backward completes
+    before the next starts (``lax.fori_loop``), so only one chunk's
+    streamed sample values (sv) are resident at a time. This lets
+    configs whose full-image sv exceeds the HBM budget (512^3 / 2048^2:
+    ~14 GB) still use the no-replay backward: 8 chunks of ~1.8 GB each.
+    Jit-compatible; ``n_chunks`` must be static.
+    """
+    d, h, w = scene.density.shape
+    dims = (w, h, d)
+    wv, hv = view.dims
+    if window is None:
+        window = default_window(dims, view.dims, view.perspective)
+        if shaded:
+            off = int(0.01 * 0.5 * max(dims)) + 2
+            window = (
+                min(window[0] + off, -(-dims[2] // 8) * 8),
+                min(-(-(window[1] + off) // 8) * 8,
+                    -(-dims[1] // 8) * 8),
+                window[2])
+    window = _norm_window(window)
+    wp, hp = layout.pad_dims(wv, hv, TILE, TILE)
+    tgt = jnp.asarray(target, jnp.float32)
+    tgt = jnp.pad(tgt, ((0, hp - hv), (0, wp - wv), (0, 0)))
+    tgt_t = layout.tile_rays(tgt, wv, hv, tile_w=TILE, tile_h=TILE)
+    t_total = tgt_t.shape[0]
+    tc = -(-t_total // n_chunks)
+    t_pad = tc * n_chunks - t_total
+    if t_pad:
+        # Dead padding tiles render zero against a zero target.
+        tgt_t = jnp.pad(tgt_t, ((0, t_pad), (0, 0), (0, 0)))
+    denom = float(hv) * float(wv) * 4.0
+    fl = None if flush is None else tuple(flush)
+
+    def chunk_loss(sc, tgt_t, t0):
+        premult = jnp.concatenate(
+            [sc.tf_base[:, :3] * sc.tf_base[:, 3:4],
+             sc.tf_base[:, 3:4]], axis=-1)
+        tfl = jnp.pad(premult, ((0, 0), (0, 4)))
+        vols = _phase_volumes(
+            sc.density, window[2],
+            storage=jnp.bfloat16 if fast else None)
+        tiles = layout.prepare_ray_tiles_raw(
+            view, sc.ray_step, None, tile_w=TILE, tile_h=TILE)
+        if t_pad:
+            tiles = jnp.pad(tiles, ((0, t_pad), (0, 0), (0, 0)))
+        tiles_c = jax.lax.dynamic_slice_in_dim(tiles, t0, tc, 0)
+        rays_t = jnp.swapaxes(tiles_c, 1, 2)
+        bz, by = _brick_shape(vols[0].shape, window[0], window[1])
+        org = plan_windows(
+            tiles_c, dims, vols[0].shape, sc.ray_step, window[0],
+            window[1], bz, by, wx=window[2], view_dims=view.dims)
+        lp = view.light_pos.astype(jnp.float32).reshape(3)
+        scal = jnp.concatenate([
+            jnp.asarray(ray_threshold, jnp.float32).reshape(1),
+            jnp.asarray(light_kd, jnp.float32).reshape(1),
+            lp, jnp.zeros(3, jnp.float32)]).reshape(1, 8)
+        out = render_tiles_v3(
+            scal, org, rays_t, vols, tfl, dims, sc.ray_step, window,
+            fast, bool(shaded), fl)
+        tgt_c = jax.lax.dynamic_slice_in_dim(tgt_t, t0, tc, 0)
+        diff = out[:, :4, :] - jnp.swapaxes(tgt_c, 1, 2)
+        return jnp.sum(diff * diff) / denom
+
+    vag = jax.value_and_grad(chunk_loss)
+
+    def body(i, carry):
+        loss, grads = carry
+        li, gi = vag(scene, tgt_t, i * tc)
+        return loss + li, jax.tree.map(jnp.add, grads, gi)
+
+    init = (jnp.float32(0.0), jax.tree.map(jnp.zeros_like, scene))
+    return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
 def render_view_v3(density, premult_tf, ray_step, view,
                    ray_threshold=0.95, window=None, fast=False,
                    esl_fn=None, light_kd=0.0, shaded=False,

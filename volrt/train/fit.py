@@ -51,6 +51,7 @@ def make_train_step(
     train_density: bool = True,
     train_tf: bool = True,
     mesh=None,
+    loss_grads_fn: Callable | None = None,
 ):
     """Build a jitted train step ``(state, view, target) -> (state, loss)``.
 
@@ -58,10 +59,18 @@ def make_train_step(
     pixel rows across devices; scene parameters are replicated and their
     gradients psum'd by XLA. Frozen leaves get zeroed gradients (so one
     optimizer covers density-only, TF-only and joint fits).
+
+    With ``loss_grads_fn`` (``(scene, view, target) -> (loss, grads)``),
+    that function replaces ``value_and_grad(loss_fn)`` — used for chunked
+    gradient accumulation at 512^3 scale (diff_v3.loss_grads_v3_chunked).
     """
 
     def step(state: TrainState, view: View, target: jax.Array):
-        loss, grads = jax.value_and_grad(loss_fn)(state.scene, view, target)
+        if loss_grads_fn is not None:
+            loss, grads = loss_grads_fn(state.scene, view, target)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.scene, view, target)
         if not train_density:
             grads = grads.replace(density=jnp.zeros_like(grads.density))
         if not train_tf:
@@ -114,6 +123,7 @@ def fit(
     checkpoint_every: int = 0,
     resume: bool = False,
     fused: bool = False,
+    grad_chunks: int = 0,
 ) -> tuple[DiffScene, list[float]]:
     """Fit the scene to targets; returns (scene, per-step losses).
 
@@ -123,13 +133,24 @@ def fit(
     its step counter — ``steps`` counts total steps including resumed ones.
     ``fused=True`` trains through the fused Pallas kernels (single-chip
     fast path; the sharded ``mesh`` path stays on the XLA renderer).
+    ``grad_chunks > 1`` (fused only) accumulates gradients over ray-tile
+    chunks so huge viewports/volumes keep the streamed-sample backward
+    within HBM (diff_v3.loss_grads_v3_chunked).
     """
     import os
 
     optimizer = make_optimizer(lr)
+    loss_grads_fn = None
+    if fused and grad_chunks and grad_chunks > 1:
+        from volrt.renderers.pallas.diff_v3 import loss_grads_v3_chunked
+
+        def loss_grads_fn(scene, view, target):
+            return loss_grads_v3_chunked(
+                scene, view, target, grad_chunks, fast=True)
     train_step = make_train_step(
         optimizer, loss_fn=(l2_loss_fused if fused else l2_loss),
-        train_density=train_density, train_tf=train_tf, mesh=mesh
+        train_density=train_density, train_tf=train_tf, mesh=mesh,
+        loss_grads_fn=loss_grads_fn,
     )
     state = init_state(scene, optimizer)
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
