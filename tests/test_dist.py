@@ -210,3 +210,65 @@ class TestVolumeShardedPallas:
         out = np.asarray(render_volume_sharded(
             scene, view, mesh, ray_threshold=0.7, backend="pallas"))
         np.testing.assert_allclose(ref, out, atol=2e-4)
+
+
+@needs_devices
+class TestShardedFusedTraining:
+    @pytest.fixture(autouse=True)
+    def _fresh_trace_caches(self):
+        # JAX 0.9 trace-cache pollution: after the volume-sharded tests'
+        # grad-of-shard_map + shard_map'ed pallas forwards, a fresh
+        # single-device trace of the fused kernels picks up mesh-typed
+        # avals from cached jaxprs ("Mesh for all inputs should be
+        # equal ... Auto ... Manual"). Clearing caches isolates the test.
+        jax.clear_caches()
+        yield
+
+    def test_fused_loss_grads_match_single_device(self):
+        """shard_map'ed v3 fused loss+grads == single-device fused path
+        (tiles are data-parallel; replicated-operand cotangents psum)."""
+        from volrt.diff.fused import render_image_fused
+        from volrt.dist.render import l2_loss_grads_v3_sharded
+
+        scene = scene_from_volume(
+            jnp.asarray(synthetic_volume(16)), default_transfer_fn(), 0.12
+        )
+        cam = Camera(dims=(32, 64))  # 8 tiles over 8 devices
+        cam.set_camera_position((30.0, 20.0, 0.0))
+        view = cam.view()
+        target = jnp.zeros((64, 32, 4), jnp.float32)
+
+        def loss_single(s):
+            img = render_image_fused(s, view)
+            return jnp.mean((img - target) ** 2)
+
+        l_ref, g_ref = jax.value_and_grad(loss_single)(scene)
+        mesh = make_mesh()
+        l_sh, g_sh = l2_loss_grads_v3_sharded(
+            scene, view, target, mesh, fast=False)
+        np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g_sh.density), np.asarray(g_ref.density),
+            atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g_sh.tf_base), np.asarray(g_ref.tf_base),
+            atol=1e-6)
+
+    def test_fit_fused_mesh_trains(self):
+        from volrt.diff.render import DiffScene
+        from volrt.train.fit import fit
+
+        vol = synthetic_volume(12)
+        gt = scene_from_volume(
+            jnp.asarray(vol), default_transfer_fn(), 0.15)
+        cam = Camera(dims=(32, 32))
+        cam.set_camera_position((30.0, 20.0, 0.0))
+        view = cam.view()
+        target = render_diff_image(gt, view)
+        scene = DiffScene(
+            density=jnp.full(vol.shape, 0.3, jnp.float32),
+            tf_base=default_transfer_fn(), ray_step=0.15)
+        mesh = make_mesh()
+        _, losses = fit(scene, [(view, target)], steps=3, lr=0.05,
+                        train_tf=False, fused=True, mesh=mesh)
+        assert losses[-1] < losses[0]

@@ -86,3 +86,80 @@ def render_float_sharded(
 def render_sharded(rc: Raycaster, mesh: Mesh, **kw) -> jax.Array:
     img, _ = render_float_sharded(rc, mesh, **kw)
     return sampling.write_color(img)
+
+
+def l2_loss_grads_v3_sharded(scene, view, target, mesh,
+                             ray_threshold=0.95, fast=True,
+                             window=None, flush=None):
+    """MSE loss + scene gradients with ray tiles shard_map'ed over
+    ``mesh`` through the v3 fused differentiable kernels.
+
+    The data-parallel training configuration of BASELINE.md on the fast
+    path: each device runs the fused forward+backward on its tile shard
+    (volume/TF replicated, P() in-specs); the shard_map transpose psums
+    the replicated operands' cotangents over ICI automatically. Loss and
+    gradients match the single-device fused path exactly (the loss is
+    additive over tiles).
+    """
+    from volrt.renderers.pallas.diff_v3 import (
+        G, TILE, _norm_window, _phase_volumes, _brick_shape,
+        default_window, plan_windows, render_tiles_v3)
+
+    d, h, w = scene.density.shape
+    dims = (w, h, d)
+    wv, hv = view.dims
+    if window is None:
+        window = default_window(dims, view.dims, view.perspective)
+    window = _norm_window(window)
+    wp, hp = layout.pad_dims(wv, hv, TILE, TILE)
+    tgt = jnp.asarray(target, jnp.float32)
+    tgt = jnp.pad(tgt, ((0, hp - hv), (0, wp - wv), (0, 0)))
+    tgt_t = layout.tile_rays(tgt, wv, hv, tile_w=TILE, tile_h=TILE)
+    n_dev = mesh.devices.size
+    tgt_t = _pad_tiles(tgt_t, n_dev)
+    denom = float(hv) * float(wv) * 4.0
+    fl = None if flush is None else tuple(flush)
+
+    def loss_fn(sc):
+        premult = jnp.concatenate(
+            [sc.tf_base[:, :3] * sc.tf_base[:, 3:4],
+             sc.tf_base[:, 3:4]], axis=-1)
+        tfl = jnp.pad(premult, ((0, 0), (0, 4)))
+        vols = _phase_volumes(
+            sc.density, window[2],
+            storage=jnp.bfloat16 if fast else None)
+        bz, by = _brick_shape(vols[0].shape, window[0], window[1])
+        tiles = layout.prepare_ray_tiles_raw(
+            view, sc.ray_step, None, tile_w=TILE, tile_h=TILE)
+        tiles = _pad_tiles(tiles, n_dev)
+        lp = view.light_pos.astype(jnp.float32).reshape(3)
+        scal = jnp.concatenate([
+            jnp.asarray(ray_threshold, jnp.float32).reshape(1),
+            jnp.zeros(1, jnp.float32),
+            lp, jnp.zeros(3, jnp.float32)]).reshape(1, 8)
+
+        # Window planning is pure XLA — partitioned automatically outside
+        # the shard_map (only the Pallas kernel needs manual sharding).
+        org = plan_windows(
+            tiles, dims, vols[0].shape, sc.ray_step, window[0],
+            window[1], bz, by, wx=window[2], view_dims=view.dims)
+        rays_t = jnp.swapaxes(tiles, 1, 2)
+
+        def shard_fn(scal, org_l, rays_l, tgt_l, tfl, *vols):
+            out = render_tiles_v3(
+                scal, org_l, rays_l, tuple(vols), tfl, dims,
+                sc.ray_step, window, fast, False, fl)
+            diff = out[:, :4, :] - jnp.swapaxes(tgt_l, 1, 2)
+            return jax.lax.psum(jnp.sum(diff * diff), RAY_AXIS)
+
+        sq = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P(),
+                      *([P()] * len(vols))),
+            out_specs=P(),
+            check_vma=False,
+        )(scal, org, rays_t, tgt_t, tfl, *vols)
+        return sq / denom
+
+    return jax.value_and_grad(loss_fn)(scene)

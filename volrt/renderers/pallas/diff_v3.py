@@ -1094,6 +1094,17 @@ def _acc_shape(vol_shape, wz, wy):
     return az, ay
 
 
+# NOTE (JAX 0.9, CPU interpret mode): after grad-of-shard_map and
+# shard_map'ed forward kernels have both run in one process (e.g. the
+# volume-sharded XLA backward followed by the pallas slab backend), a
+# later *single-device* re-trace of these kernels inside a pjit
+# transpose can inherit mesh-typed avals from cached jaxprs and fail
+# with "Mesh for all inputs should be equal ... Auto ... Manual".
+# ``jax.clear_caches()`` before the single-device trace clears it.
+# Clamping the ambient mesh via use_abstract_mesh here instead breaks
+# pjit const handling ("Execution supplied N buffers but compiled
+# program expected M"), so no in-library workaround is applied; the
+# test suite isolates the affected orderings (tests/test_dist.py).
 def _pallas_fwd(scal, org, rays_t, vols, tfl, *, dims, ray_step,
                 window, fast, shade=False, slab=False, phong=False,
                 save_sv=False):

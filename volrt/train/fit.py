@@ -52,6 +52,8 @@ def make_train_step(
     train_tf: bool = True,
     mesh=None,
     loss_grads_fn: Callable | None = None,
+    constrain_target_rows: bool = True,
+    two_dispatch: bool = False,
 ):
     """Build a jitted train step ``(state, view, target) -> (state, loss)``.
 
@@ -62,15 +64,26 @@ def make_train_step(
 
     With ``loss_grads_fn`` (``(scene, view, target) -> (loss, grads)``),
     that function replaces ``value_and_grad(loss_fn)`` — used for chunked
-    gradient accumulation at 512^3 scale (diff_v3.loss_grads_v3_chunked).
+    gradient accumulation at 512^3 scale (diff_v3.loss_grads_v3_chunked)
+    and for the shard_map'ed fused path (dist.render). In the latter case
+    the loss shards its own ray tiles, so ``constrain_target_rows=False``
+    skips the row-sharding constraint while keeping the replicated
+    state/loss out_shardings (so train-state buffers stay consistently
+    mesh-replicated across steps).
+
+    ``two_dispatch=True`` (requires ``loss_grads_fn``) runs the
+    loss+grads as its own dispatch (outer trace eager — the shard_map
+    and Pallas calls inside still compile and cache) and jits only the
+    optimizer update. Needed for the shard_map'ed fused path: wrapping
+    shard_map in an outer jit intermittently trips a JAX 0.9 dispatch
+    bug on the CPU mesh ("Execution supplied N buffers but compiled
+    program expected M" — triggered by prior eager runs of the same
+    shard_map or by ``jax.clear_caches()``); the eager outer dispatch
+    sidesteps it at small overhead (the prologue ops around the kernel
+    are a fraction of the step's work).
     """
 
-    def step(state: TrainState, view: View, target: jax.Array):
-        if loss_grads_fn is not None:
-            loss, grads = loss_grads_fn(state.scene, view, target)
-        else:
-            loss, grads = jax.value_and_grad(loss_fn)(
-                state.scene, view, target)
+    def apply_update(state: TrainState, grads, loss):
         if not train_density:
             grads = grads.replace(density=jnp.zeros_like(grads.density))
         if not train_tf:
@@ -85,6 +98,25 @@ def make_train_step(
         )
         return TrainState(scene, opt_state, state.step + 1), loss
 
+    def step(state: TrainState, view: View, target: jax.Array):
+        if loss_grads_fn is not None:
+            loss, grads = loss_grads_fn(state.scene, view, target)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.scene, view, target)
+        return apply_update(state, grads, loss)
+
+    if two_dispatch:
+        if loss_grads_fn is None:
+            raise ValueError("two_dispatch requires loss_grads_fn")
+        jup = jax.jit(apply_update)
+
+        def two_phase_step(state, view, target):
+            loss, grads = loss_grads_fn(state.scene, view, target)
+            return jup(state, grads, loss)
+
+        return two_phase_step
+
     if mesh is None:
         return jax.jit(step)
 
@@ -96,7 +128,8 @@ def make_train_step(
     repl = NamedSharding(mesh, P())
 
     def sharded_step(state, view, target):
-        target = jax.lax.with_sharding_constraint(target, rows)
+        if constrain_target_rows:
+            target = jax.lax.with_sharding_constraint(target, rows)
         return step(state, view, target)
 
     # Prefix pytree: replicate every leaf of the state and the scalar loss.
@@ -141,7 +174,23 @@ def fit(
 
     optimizer = make_optimizer(lr)
     loss_grads_fn = None
-    if fused and grad_chunks and grad_chunks > 1:
+    constrain_target_rows = True
+    two_dispatch = False
+    if fused and mesh is not None:
+        # Fused kernels under a mesh: shard_map the v3 fwd/bwd over ray
+        # tiles (XLA cannot auto-partition a custom kernel). The loss
+        # shards its own tiles, so the step wrapper only pins the state
+        # replicated (no row constraint on the raw target).
+        from volrt.dist.render import l2_loss_grads_v3_sharded
+
+        fused_mesh = mesh
+        constrain_target_rows = False
+        two_dispatch = True
+
+        def loss_grads_fn(scene, view, target):
+            return l2_loss_grads_v3_sharded(
+                scene, view, target, fused_mesh, fast=True)
+    elif fused and grad_chunks and grad_chunks > 1:
         from volrt.renderers.pallas.diff_v3 import loss_grads_v3_chunked
 
         def loss_grads_fn(scene, view, target):
@@ -151,6 +200,8 @@ def fit(
         optimizer, loss_fn=(l2_loss_fused if fused else l2_loss),
         train_density=train_density, train_tf=train_tf, mesh=mesh,
         loss_grads_fn=loss_grads_fn,
+        constrain_target_rows=constrain_target_rows,
+        two_dispatch=two_dispatch,
     )
     state = init_state(scene, optimizer)
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
