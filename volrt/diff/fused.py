@@ -55,7 +55,8 @@ def _v3_fits(scene, view) -> bool:
     return span + 2 * diff_v3.MARGIN + 8 <= 112
 
 
-@partial(jax.jit, static_argnames=("window", "blocked", "fast", "esl"))
+@partial(jax.jit,
+         static_argnames=("window", "blocked", "fast", "esl", "flush"))
 def render_image_fused(
     scene: DiffScene,
     view,
