@@ -275,7 +275,7 @@ class TestV3FlushTrim:
         gG = D._pack_gG(jnp.ones_like(out), out)
 
         def run(flush):
-            _, dtf = D._pallas_bwd(
+            _, dtf, _ = D._pallas_bwd(
                 scal, org, rays_t, vols, tfl, gG, dims=dims,
                 ray_step=scene.ray_step, window=window, fast=False,
                 flush=flush)

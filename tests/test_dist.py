@@ -211,6 +211,38 @@ class TestVolumeShardedPallas:
             scene, view, mesh, ray_threshold=0.7, backend="pallas"))
         np.testing.assert_allclose(ref, out, atol=2e-4)
 
+    def test_pallas_backend_grads_match_xla(self):
+        """The slab-seeded v3 backward (dacc0 cotangent through the
+        cross-device opacity scan) reproduces the XLA backend's scene
+        gradients — including the cross-slab terms where one slab's
+        density modulates downstream slabs' transmittance."""
+        from volrt.core.tf import default_transfer_fn
+        from volrt.diff.render import scene_from_volume
+        from volrt.dist.volume_sharded import render_volume_sharded
+
+        scene = scene_from_volume(
+            jnp.asarray(synthetic_volume(16)), default_transfer_fn(),
+            0.15)
+        cam = Camera(dims=(32, 32))
+        cam.set_camera_position((25.0, 10.0, 0.0))
+        view = cam.view()
+        mesh = make_mesh()
+        w = jnp.linspace(0.5, 1.5, 32 * 32 * 4).reshape(32, 32, 4)
+
+        def loss(s, backend):
+            img = render_volume_sharded(
+                s, view, mesh, ray_threshold=2.0, backend=backend)
+            return jnp.mean(w * img ** 2)
+
+        g_xla = jax.grad(lambda s: loss(s, "xla"))(scene)
+        g_pal = jax.grad(lambda s: loss(s, "pallas"))(scene)
+        np.testing.assert_allclose(
+            np.asarray(g_pal.density), np.asarray(g_xla.density),
+            atol=5e-5)
+        np.testing.assert_allclose(
+            np.asarray(g_pal.tf_base), np.asarray(g_xla.tf_base),
+            atol=5e-5)
+
 
 @needs_devices
 class TestShardedFusedTraining:

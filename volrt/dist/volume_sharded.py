@@ -255,9 +255,12 @@ def render_volume_sharded(
 
     ``ray_threshold`` is the ERT threshold, honored *across* slab
     boundaries (pass 2.0 to disable). ``backend="pallas"`` routes each
-    slab's segment march through the v3 forward kernel
-    (renderers/pallas/diff_v3.render_slab_v3) — the fast path for
-    rendering; it is forward-only (training stays on the XLA backend). ``front_to_back`` is the slab march
+    slab's segment march through the v3 kernels
+    (renderers/pallas/diff_v3.render_slab_v3) — the fast path; it is
+    differentiable too: the fused backward emits each segment's
+    upstream-opacity cotangent, which autodiff carries through the
+    ppermute scan into upstream slabs' density gradients.
+    ``front_to_back`` is the slab march
     order (device 0's slab first); when None it is derived from the view's
     z direction, which requires a concrete (non-traced) view — under an
     outer jit pass it explicitly (it selects the static ppermute

@@ -62,8 +62,8 @@ G = 8             # march bands per group (brick/geometry amortization)
 MARGIN = 2        # window slack around the footprint minimum
 BPAD_Z = 16       # brick headroom over the window (in-group drift)
 BPAD_Y = 16
-APAD_Z = 24       # gradient-accumulator headroom (multi-group residency)
-APAD_Y = 24
+APAD_Z = 48       # gradient-accumulator headroom (multi-group residency;
+APAD_Y = 48       # with drift-aware placement => ~4-6 groups per flush)
 XW = X_LANES      # max x window width (one lane tile)
 
 _INF = jnp.float32(1e30)
@@ -369,6 +369,66 @@ def _tf_onehot(sval_row, brow):
     return oh, in_rng.astype(jnp.float32)
 
 
+def _shift_fill(x, s, fill):
+    """Shift rows down by ``s`` along axis 0, filling the top with
+    ``fill`` (static slice + concat — cheap on (G, R) tiles)."""
+    g = x.shape[0]
+    top = jnp.full((s,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([top, x[:g - s]], axis=0)
+
+
+def _excl_cumprod(q):
+    """Exclusive cumulative product over axis 0 (G rows) via
+    Hillis-Steele doubling: out_i = prod_{j<i} q_j (out_0 = 1)."""
+    x = _shift_fill(q, 1, 1.0)
+    s = 1
+    while s < q.shape[0] - 1:
+        x = x * _shift_fill(x, s, 1.0)
+        s *= 2
+    return x
+
+
+def _excl_cumsum(c):
+    """Exclusive cumulative sum over axis 0: out_i = sum_{j<i} c_j."""
+    x = _shift_fill(c, 1, 0.0)
+    s = 1
+    while s < c.shape[0] - 1:
+        x = x + _shift_fill(x, s, 0.0)
+        s *= 2
+    return x
+
+
+def _group_weights(ca, m_ana, acca, fin, thr):
+    """Batched group compositing weights (replaces the sequential
+    per-band transmittance recurrence; measured ~40% of both kernels'
+    VPU time as (1, R) row chains).
+
+    Since band opacities are nonnegative, the ERT-gated march equals the
+    ungated march up to the first threshold crossing and contributes
+    nothing after it, so the sequential recurrence
+    ``acca += ca*m*(1-acca)`` factors into one exclusive cumulative
+    product of ``q = 1 - ca*m_ana`` plus a prefix mask on the entering
+    opacity:
+
+        T_in_i  = (1 - acca) * prod_{j<i} q_j      (entering transmittance)
+        gate_i  = [1 - T_in_i <= thr] * (1 - fin)
+        f_i     = m_ana_i * gate_i * T_in_i        (band contribution weight)
+
+    Returns ``(f, m, acca_out, fin_out)`` with ``m = m_ana * gate`` (the
+    executed-band mask), matching the sequential semantics exactly
+    (the crossing band still contributes; later bands do not)."""
+    q = 1.0 - ca * m_ana
+    tin = (1.0 - acca) * _excl_cumprod(q)
+    gate = ((1.0 - tin <= thr).astype(jnp.float32) * (1.0 - fin))
+    m = m_ana * gate
+    f = m * tin
+    acca_out = acca + jnp.sum(ca * f, axis=0, keepdims=True)
+    m_any = jnp.max(m_ana, axis=0, keepdims=True)
+    fin_out = jnp.maximum(
+        fin, m_any * (acca_out > thr).astype(jnp.float32))
+    return f, m, acca_out, fin_out
+
+
 def _make_iotas(wz, wy, wx):
     zrow = jax.lax.broadcasted_iota(jnp.int32, (wz, R), 0).astype(
         jnp.float32)
@@ -595,13 +655,36 @@ def _fwd_kernel(
             kd = scal_ref[0, 1]
             dshade8 = (sv8_2 - sv8) * kd  # gated per band below
 
-        if phong:
-            px_, py_, pz_ = pw
-            dxr, dyr, dzr = rays[3:4], rays[4:5], rays[5:6]
-            vinv = jax.lax.rsqrt(
-                dxr * dxr + dyr * dyr + dzr * dzr + 1e-20)
-            vx, vy, vz = -dxr * vinv, -dyr * vinv, -dzr * vinv
-            kd = scal_ref[0, 1]
+        if not phong:
+            # Batched group composite: one cumulative-product reweighting
+            # replaces G sequential (1, R) transmittance updates.
+            ca = ca8[:, :R]
+            cr = cr8[:, :R]
+            cg = cg8[:, :R]
+            cb = cb8[:, :R]
+            if shade:
+                gate_sh = (
+                    (ca > SHADE_ALPHA_GATE)
+                    & (scal_ref[0, 1] > SHADE_KD_GATE))
+                dsh = jnp.where(gate_sh, dshade8[:, :R], 0.0)
+                cr = cr + dsh
+                cg = cg + dsh
+                cb = cb + dsh
+            f, m, acca, fin = _group_weights(ca, m_ana, acca, fin, thr)
+            accr = accr + jnp.sum(cr * f, axis=0, keepdims=True)
+            accg = accg + jnp.sum(cg * f, axis=0, keepdims=True)
+            accb = accb + jnp.sum(cb * f, axis=0, keepdims=True)
+            novf = novf + jnp.sum(
+                jnp.where((ovf8[:, :R] > 0.0) & (m > 0.0), 1.0, 0.0),
+                axis=0, keepdims=True)
+            return B + 1, accr, accg, accb, acca, fin, novf
+
+        px_, py_, pz_ = pw
+        dxr, dyr, dzr = rays[3:4], rays[4:5], rays[5:6]
+        vinv = jax.lax.rsqrt(
+            dxr * dxr + dyr * dyr + dzr * dzr + 1e-20)
+        vx, vy, vz = -dxr * vinv, -dyr * vinv, -dzr * vinv
+        kd = scal_ref[0, 1]
 
         for g in range(G):
             cr = cr8[g:g + 1, :R]
@@ -689,10 +772,11 @@ def _bwd_kernel(
     g_ref, dv0_in_ref, dv1_in_ref, dv2_in_ref, dv3_in_ref,
     *rest,
     dims, ray_step, wz, wy, wx, n_phases, fast, shade=False,
-    flush_shape=None, have_sv=False, brick_shape=None,
+    flush_shape=None, have_sv=False, brick_shape=None, slab=False,
 ):
-    # rest = [sv_in(, sv2_in)] (have_sv inputs), dv0..dv3, dtf outputs,
-    # [brick scratch, sem] (replay mode only), acc, rmw, sem2, dtfacc.
+    # rest = [sv_in(, sv2_in)] (have_sv inputs), dv0..dv3, dtf[, dacc0]
+    # outputs, [brick scratch, sem] (replay mode only), acc, rmw, sem2,
+    # dtfacc.
     i = 0
     sv_in_ref = sv2_in_ref = None
     if have_sv:
@@ -703,6 +787,10 @@ def _bwd_kernel(
             i += 1
     dv0_ref, dv1_ref, dv2_ref, dv3_ref, dtf_ref = rest[i:i + 5]
     i += 5
+    dr_ref = None
+    if slab:
+        dr_ref = rest[i]
+        i += 1
     if have_sv:
         brick_ref = sem = None
         bz, by = brick_shape
@@ -724,6 +812,11 @@ def _bwd_kernel(
     gg_ = g_ref[0]
     gr, ggn, gb, ga = gg_[0:1], gg_[1:2], gg_[2:3], gg_[3:4]
     G_total = gg_[4:5]
+    acc0_row = rays[CH_ACC0:CH_ACC0 + 1]
+    if slab:
+        # The saved output's alpha includes the seeded upstream opacity;
+        # the suffix total must count march contributions only.
+        G_total = G_total - ga * acc0_row
     zrow, yrow, xrow, brow = _make_iotas(wz, wy, wx)
     lut = tfl_ref[:]                             # (TF_SIZE, 8)
     lutl = lutl_ref[:]                           # (8, TF_SIZE) lane-major
@@ -863,8 +956,18 @@ def _bwd_kernel(
 
         Dp = v0_ref.shape[0]
         Hp = v0_ref.shape[1]
-        nzo = jnp.clip(bzo - (az - bz) // 2, 0, Dp - az)
-        nyo = jnp.clip((byo - (ay - by) // 2) & ~7, 0, Hp - ay)
+        # Drift-aware placement: put the brick at the accumulator's
+        # trailing edge (headroom ahead of the march direction, read from
+        # the next group's planned brick origin) — centered placement
+        # wastes half the headroom and recenters every group at 8-voxel
+        # per-group drift.
+        Bn = jnp.minimum(B + 1, ng_live - 1)
+        drift_z_up = org_ref[0, Bn, F_BZO] >= bzo
+        drift_y_up = org_ref[0, Bn, F_BYO] >= byo
+        nzo = jnp.clip(
+            jnp.where(drift_z_up, bzo, bzo + bz - az), 0, Dp - az)
+        nyo = jnp.clip(
+            jnp.where(drift_y_up, byo, byo + by - ay) & ~7, 0, Hp - ay)
         azo = jnp.where(fits, azo, nzo)
         ayo = pl.multiple_of(jnp.where(fits, ayo, nyo), 8)
         axo = jnp.where(fits, axo, xo)
@@ -876,7 +979,10 @@ def _bwd_kernel(
         wyl = jnp.where(fits, t_wyl, g_wyl)
         wyh = jnp.where(fits, t_wyh, g_wyh)
 
-        tx, ty, tz, m_ana, pw = _geometry(rays, B, ray_step, dims)
+        tx, ty, tz, m_ana, pw = _geometry(
+            rays, B, ray_step, dims,
+            z_off=(scal_ref[0, 5] if slab else None),
+            local_d=float(v0_ref.shape[0]))
 
         # Pass 1: the group's samples (lane-major) — read back from the
         # forward's streamed HBM copy when available (have_sv), else
@@ -932,34 +1038,48 @@ def _bwd_kernel(
                      else jnp.concatenate(svals2, axis=0))
             kd = scal_ref[0, 1]
 
-        # Pass 2: sequential composite + cotangents + gradient matmuls.
-        for g in range(G):
-            cr = cr8[g:g + 1, :R]
-            cg = cg8[g:g + 1, :R]
-            cb = cb8[g:g + 1, :R]
-            ca = ca8[g:g + 1, :R]
-            if shade:
-                gate_f = ((ca > SHADE_ALPHA_GATE)
-                          & (kd > SHADE_KD_GATE)).astype(jnp.float32)
-                dsh = gate_f * (
-                    sv8_2[g:g + 1, :R] - sv8[g:g + 1, :R]) * kd
-                cr = cr + dsh
-                cg = cg + dsh
-                cb = cb + dsh
-            m = m_ana[g:g + 1] * (1.0 - fin)
-            T = m * (1.0 - acca)
-            contrib = (gr * cr + ggn * cg + gb * cb + ga * ca) * T
-            P_new = P + contrib
+        # Pass 2: batched cotangent chain (same cumulative-product
+        # factorization as the forward; the suffix-sum trick's running
+        # prefix P becomes one exclusive cumulative sum), then per-band
+        # gradient matmuls + accumulator RMW.
+        ca = ca8[:, :R]
+        cr = cr8[:, :R]
+        cg = cg8[:, :R]
+        cb = cb8[:, :R]
+        if shade:
+            gate_f = ((ca > SHADE_ALPHA_GATE)
+                      & (kd > SHADE_KD_GATE)).astype(jnp.float32)
+            dsh = gate_f * (sv8_2[:, :R] - sv8[:, :R]) * kd
+            cr = cr + dsh
+            cg = cg + dsh
+            cb = cb + dsh
+        f, m, acca, fin = _group_weights(ca, m_ana, acca, fin, thr)
+        contrib = (gr * cr + ggn * cg + gb * cb + ga * ca) * f
+        P_in = P + _excl_cumsum(contrib)
+        P = P + jnp.sum(contrib, axis=0, keepdims=True)
+        S_next = G_total - (P_in + contrib)
+        denom = 1.0 - ca
+        dcr8, dcg8, dcb8 = gr * f, ggn * f, gb * f
+        dca8 = ga * f - jnp.where(
+            denom > 1e-6, S_next / jnp.maximum(denom, 1e-6), 0.0) * m
+        dsval8 = (
+            slopes[0][:, :R] * dcr8
+            + slopes[1][:, :R] * dcg8
+            + slopes[2][:, :R] * dcb8
+            + slopes[3][:, :R] * dca8
+        ) * rng8[:, :R]
+        if shade:
+            # diffuse = gate * kd * (s2 - s): the rgb cotangents flow
+            # -kd into this tap's density and +kd into the light tap's.
+            drgb8 = dcr8 + dcg8 + dcb8
+            dsval8 = dsval8 - gate_f * kd * drgb8
+            dsval2_8 = gate_f * kd * drgb8
 
-            dcr, dcg, dcb = gr * T, ggn * T, gb * T
-            S_next = G_total - P_new
-            denom = 1.0 - ca
-            dca = ga * T - jnp.where(
-                denom > 1e-6, S_next / jnp.maximum(denom, 1e-6), 0.0
-            ) * m
+        for g in (() if "bandtail" in abl else range(G)):
             dcol = jnp.concatenate(
-                [dcr, dcg, dcb, dca, jnp.zeros((4, R), jnp.float32)],
-                axis=0) * m                          # (8, R)
+                [dcr8[g:g + 1], dcg8[g:g + 1], dcb8[g:g + 1],
+                 dca8[g:g + 1], jnp.zeros((4, R), jnp.float32)],
+                axis=0)                              # (8, R)
 
             # dTF += oh @ dcol^T -> (TF_SIZE, 8); in-register per tile.
             if "dtf" not in abl:
@@ -970,18 +1090,9 @@ def _bwd_kernel(
                     preferred_element_type=jnp.float32,
                     precision=prec)
 
-            dsval = (
-                slopes[0][g:g + 1, :R] * dcr
-                + slopes[1][g:g + 1, :R] * dcg
-                + slopes[2][g:g + 1, :R] * dcb
-                + slopes[3][g:g + 1, :R] * dca
-            ) * rng8[g:g + 1, :R]
+            dsval = dsval8[g:g + 1]
             if shade:
-                # diffuse = gate * kd * (s2 - s): the rgb cotangents flow
-                # -kd into this tap's density and +kd into the light tap's.
-                drgb = dcr + dcg + dcb
-                dsval = dsval - gate_f * kd * drgb
-                dsval2 = gate_f * kd * drgb
+                dsval2 = dsval2_8[g:g + 1]
 
             # Rebuild the band's tap weights for the dBrick transpose
             # (measured no cheaper to stash in VMEM: the store/load
@@ -1037,11 +1148,6 @@ def _bwd_kernel(
                 # Keep dbrick live so DCE can't drop the matmul itself
                 # (cheap sink: one row, no full reduction).
                 acca = acca + dbrick[0:1, 0:1] * 1e-30
-
-            acca = acca + ca * T
-            fin = jnp.maximum(
-                fin, m_ana[g:g + 1] * (acca > thr).astype(jnp.float32))
-            P = P_new
         return (B + 1, acca, fin, P, azo, ayo, axo, aph, have,
                 wzl, wzh, wyl, wyh, flost)
 
@@ -1051,8 +1157,12 @@ def _bwd_kernel(
 
     z = jnp.zeros((1, R), jnp.float32)
     zi = jnp.int32(0)
+    acca0 = acc0_row if slab else z
+    fin0 = jnp.maximum(
+        1.0 - alive0, alive0 * (acc0_row > thr).astype(jnp.float32)
+    ) if slab else (1.0 - alive0)
     res = jax.lax.while_loop(
-        cond, body, (0, z, 1.0 - alive0, z, zi, zi, zi, zi, zi,
+        cond, body, (0, acca0, fin0, z, zi, zi, zi, zi, zi,
                      zi, zi, zi, zi, zi))
     B_exit = res[0]
     azo, ayo, axo, aph, have = res[4], res[5], res[6], res[7], res[8]
@@ -1069,6 +1179,16 @@ def _bwd_kernel(
     @pl.when(have > 0)
     def _():
         flush(azo, ayo, axo, aph, fzo, fyo)
+
+    if slab:
+        # Seed cotangent: out = seed + (1 - acc0) * U with U the unseeded
+        # march sum, so dL/dacc0 = g_a - <g, U> = g_a - P / (1 - acc0).
+        # (ERT truncation depends on acc0 only through a measure-zero
+        # jump, ignored exactly as XLA autodiff does for masked marches.)
+        P_final = res[3]
+        dacc0 = ga - P_final / jnp.maximum(1.0 - acc0_row, 1e-6)
+        dr_ref[0] = jnp.concatenate(
+            [dacc0, jnp.zeros((7, R), jnp.float32)], axis=0)
 
     dtf_ref[...] += dtfacc_ref[...]
     if trimmed:
@@ -1158,7 +1278,7 @@ def _pallas_fwd(scal, org, rays_t, vols, tfl, *, dims, ray_step,
 
 def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
                 window, fast, shade=False, flush=None, sv=None,
-                sv2=None):
+                sv2=None, slab=False):
     t = rays_t.shape[0]
     ngr = org.shape[1]
     wz, wy, wx = window
@@ -1176,7 +1296,7 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
     kernel = functools.partial(
         _bwd_kernel, dims=dims, ray_step=ray_step, wz=wz, wy=wy, wx=wx,
         n_phases=n_phases, fast=fast, shade=shade, have_sv=have_sv,
-        brick_shape=(bz, by))
+        brick_shape=(bz, by), slab=slab)
     vshape = v4[0].shape
     # Unused phase slots get token-sized buffers (the kernel touches only
     # dv_refs[:n_phases]) — at 512^3 full-size zeros here waste ~1.2 GB.
@@ -1207,22 +1327,29 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
                      memory_space=pltpu.VMEM)
         for _ in sv_ins
     ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(tfl.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        *(jax.ShapeDtypeStruct(s, jnp.float32) for s in dv_shapes),
+        jax.ShapeDtypeStruct(tfl.shape, jnp.float32),
+    ]
+    if slab:
+        # Per-ray cotangent of the seeded opacity (row 0; rows 1-7 zero).
+        out_specs.append(pl.BlockSpec((1, 8, R), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((t, 8, R), jnp.float32))
     outs = pl.pallas_call(
         kernel,
         grid=(t,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(tfl.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            *(jax.ShapeDtypeStruct(s, jnp.float32) for s in dv_shapes),
-            jax.ShapeDtypeStruct(tfl.shape, jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=([] if have_sv else [
             pltpu.VMEM((2, bz, by, 128), v4[0].dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -1235,7 +1362,7 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
         input_output_aliases={10: 0, 11: 1, 12: 2, 13: 3},
         interpret=interpret_mode(),
     )(scal, org, rays_t, *v4, tfl, lutl, gG, *dv_inits, *sv_ins)
-    return outs[:n_phases], outs[4]
+    return outs[:n_phases], outs[4], (outs[5] if slab else None)
 
 
 def _pack_gG(g, out):
@@ -1245,10 +1372,11 @@ def _pack_gG(g, out):
         [g[:, :4], gt, jnp.zeros_like(g[:, :3])], axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def render_tiles_v3(scal, org, rays_t, vols, tfl,
                     dims, ray_step, window, fast=False, shade=False,
-                    flush=None):
+                    flush=None, slab=False):
     """Differentiable v3 tile render.
 
     Inputs: ``rays_t (T, C, R)`` lane-major ray tiles, ``org`` planned
@@ -1259,11 +1387,16 @@ def render_tiles_v3(scal, org, rays_t, vols, tfl,
     ``flush``: static (fz, fy) backward RMW box (None = full
     accumulator); undersized boxes are detected via the dTF cotangent's
     padding cell [0, 7] (clipped-row count, zero when sized right).
+    ``slab=True`` is volume-sharded Z-slab mode: the march z-remaps by
+    ``scal[0, 5]``, each ray's opacity accumulator seeds from the
+    CH_ACC0 tile channel, and the backward additionally returns the
+    seed's cotangent through ``rays_t`` (its other channels stay zero)
+    — the hook the cross-slab transmittance scan differentiates through.
     """
     return _pallas_fwd(
         scal, org, rays_t, vols, tfl,
         dims=dims, ray_step=ray_step, window=window, fast=fast,
-        shade=shade)
+        shade=shade, slab=slab)
 
 
 def _sv_limit_bytes() -> int:
@@ -1278,26 +1411,29 @@ def _use_sv(t, ngr, shade) -> bool:
 
 
 def _fwd_rule(scal, org, rays_t, vols, tfl, dims, ray_step, window,
-              fast=False, shade=False, flush=None):
+              fast=False, shade=False, flush=None, slab=False):
     save_sv = _use_sv(rays_t.shape[0], org.shape[1], shade)
     outs = _pallas_fwd(
         scal, org, rays_t, vols, tfl,
         dims=dims, ray_step=ray_step, window=window, fast=fast,
-        shade=shade, save_sv=save_sv)
+        shade=shade, slab=slab, save_sv=save_sv)
     out, svs = (outs[0], tuple(outs[1:])) if save_sv else (outs, ())
     return out, (scal, org, rays_t, vols, tfl, out, svs)
 
 
-def _bwd_rule(dims, ray_step, window, fast, shade, flush, res, g):
+def _bwd_rule(dims, ray_step, window, fast, shade, flush, slab, res, g):
     scal, org, rays_t, vols, tfl, out, svs = res
-    dvs, dtf = _pallas_bwd(
+    dvs, dtf, dacc = _pallas_bwd(
         scal, org, rays_t, vols, tfl, _pack_gG(g, out),
         dims=dims, ray_step=ray_step, window=window, fast=fast,
         shade=shade, flush=flush,
         sv=svs[0] if svs else None,
-        sv2=svs[1] if len(svs) > 1 else None)
+        sv2=svs[1] if len(svs) > 1 else None, slab=slab)
+    drays = jnp.zeros_like(rays_t)
+    if slab:
+        drays = drays.at[:, CH_ACC0, :].set(dacc[:, 0, :])
     return (jnp.zeros_like(scal), jnp.zeros_like(org),
-            jnp.zeros_like(rays_t), tuple(dvs), dtf)
+            drays, tuple(dvs), dtf)
 
 
 render_tiles_v3.defvjp(_fwd_rule, _bwd_rule)
@@ -1542,8 +1678,10 @@ def render_slab_v3(slab_density, premult_tf, ray_step, view,
     transmittance-prescaling input); the returned alpha channel includes
     it (subtract for the segment delta). Samples lie on the ray's global
     lattice ``knear + i*step``, so slab segments compose exactly to the
-    unsharded march. Forward-only (the distributed training path uses
-    the XLA renderer).
+    unsharded march. Differentiable w.r.t. ``slab_density``,
+    ``premult_tf`` AND ``acc0`` (the analytic backward emits the seed's
+    cotangent, so autodiff flows through the cross-slab opacity scan
+    into upstream slabs).
     """
     sdl, h, w = slab_density.shape
     sd = sdl - 2
@@ -1592,9 +1730,9 @@ def render_slab_v3(slab_density, premult_tf, ray_step, view,
         tiles, dims, vols[0].shape, ray_step, window[0], window[1],
         bz, by, wx=window[2], view_dims=view.dims, z_off=z_off)
     tfl = jnp.pad(premult_tf, ((0, 0), (0, 4)))
-    out = _pallas_fwd(
-        scal, org, rays_t, vols, tfl, dims=dims, ray_step=ray_step,
-        window=window, fast=fast, slab=True)
+    out = render_tiles_v3(
+        scal, org, rays_t, vols, tfl, dims, ray_step, window,
+        fast, False, None, True)
     colors = jnp.swapaxes(out[:, :4, :], 1, 2)
     img = layout.untile_rays(colors, wv, hv, tile_w=TILE, tile_h=TILE)
     return img, jnp.sum(out[:, 4, :])
