@@ -156,6 +156,32 @@ class TestCheckpoint:
         s2, l2 = step_fn(loaded, tiny_view(), target)
         assert float(l1) == float(l2)
 
+    def test_roundtrip_orbax(self, tmp_path):
+        """Non-.npz paths dispatch to the orbax directory format (the
+        sharding-aware production path) with identical restore."""
+        from volrt.train import checkpoint as ckpt
+
+        scene = tiny_scene()
+        opt = make_optimizer(0.01)
+        state = init_state(scene, opt)
+        step_fn = make_train_step(opt)
+        target = jnp.zeros((16, 16, 4), jnp.float32)
+        state, _ = step_fn(state, tiny_view(), target)
+
+        path = str(tmp_path / "ck_orbax")
+        ckpt.save(path, state)
+        loaded = ckpt.load(path, opt)
+        np.testing.assert_array_equal(
+            np.asarray(loaded.scene.density),
+            np.asarray(state.scene.density))
+        assert loaded.scene.ray_step == state.scene.ray_step
+        assert int(loaded.step) == int(state.step)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(loaded.opt_state),
+            jax.tree_util.tree_leaves(state.opt_state),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestPeriodicCheckpointResume:
     def test_fit_checkpoints_and_resumes(self, tmp_path):

@@ -308,7 +308,8 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=0.05)
     p.add_argument("--checkpoint", default=None,
-                   help="TrainState checkpoint path (.npz)")
+                   help="TrainState checkpoint path (.npz file, or an "
+                        "orbax directory for any other path)")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="save the checkpoint every N steps (0 = only at "
                    "the end)")
