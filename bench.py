@@ -15,10 +15,13 @@ BASELINE_RAY_STEPS_PER_S = 1.0e9  # BASELINE.md: >=10^9 rays*steps/s/chip
 def main() -> int:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     backend = jax.default_backend()
+    if backend != "cpu":
+        # TPU only: stale cross-machine CPU AOT cache entries load with
+        # mismatched buffer layouts (see volrt/cli.py main()).
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0)
     if backend == "cpu":
         # Keep the CPU fallback tiny so the script always completes.
         size, viewport, iters = 32, 64, 2

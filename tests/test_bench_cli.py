@@ -60,6 +60,19 @@ class TestHarness:
         )
         assert "tiny" in prof.stats
 
+    def test_diff_suite_two_configs(self):
+        """Two differently-shaped fused fwd+bwd configs in one process
+        (regression: a second outer-jit-of-grad-of-inner-jit trace hit a
+        JAX 0.9 CPU executable-lookup bug)."""
+        from volrt.bench.harness import run_diff_suite
+        from volrt.utils.logger import Logger
+
+        prof = run_diff_suite(
+            configs=[(16, 32), (24, 48)], frames=1,
+            logger=Logger(path=None, quiet=True))
+        assert "diff_16_32" in prof.stats
+        assert "diff_24_48" in prof.stats
+
     def test_default_suite_structure(self):
         from volrt.bench.harness import default_suite
 

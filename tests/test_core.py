@@ -341,3 +341,71 @@ class TestRaycasterAssembly:
         assert h.shape == (256,)
         assert h.max() == 1.0
         assert np.all(h >= 0)
+
+
+class TestErrorLayer:
+    """Unified error shim (reference: cuda_utils.h:21-49)."""
+
+    def test_band_view_rays_exact(self):
+        """Row-band sub-views reproduce the full bundle's rays exactly
+        (ortho and perspective), so OOM band-splitting is lossless."""
+        from volrt.core import rays as rays_mod
+        from volrt.core.view import Camera
+        from volrt.utils.errors import band_view
+
+        for persp in (False, True):
+            cam = Camera(dims=(12, 8), perspective=persp)
+            cam.toggle_perspective(update_mode=True)
+            cam.set_camera_position((30.0, 20.0, 0.0))
+            view = cam.view()
+            o_full, d_full = rays_mod.get_rays(view)
+            for r0, hb in ((0, 4), (4, 4), (2, 2)):
+                o, d = rays_mod.get_rays(band_view(view, r0, hb))
+                np.testing.assert_allclose(
+                    np.asarray(o), np.asarray(o_full[r0:r0 + hb]),
+                    atol=1e-6)
+                np.testing.assert_allclose(
+                    np.asarray(d), np.asarray(d_full[r0:r0 + hb]),
+                    atol=1e-6)
+
+    def test_oom_fallback_splits_and_stitches(self, synth32):
+        """A render that OOMs above a height limit is stitched from row
+        bands, matching the unsplit result."""
+        from volrt.core.view import Camera
+        from volrt.renderers.pallas import trilinear
+        from volrt.utils.errors import render_with_oom_fallback
+
+        rc = make_raycaster(
+            Volume.from_numpy(synth32),
+            view=Camera(dims=(16, 16)).view(),
+            interpolation="trilinear", light_kd=0.0)
+
+        ref, _ = trilinear.render_float(rc)
+
+        calls = []
+
+        def flaky(sub_rc):
+            h = sub_rc.view.dims[1]
+            calls.append(h)
+            if h > 4:
+                raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+            return trilinear.render_float(sub_rc)
+
+        img, ovf = render_with_oom_fallback(flaky, rc)
+        assert max(calls) == 16 and 4 in calls
+        np.testing.assert_allclose(
+            np.asarray(img), np.asarray(ref), atol=1e-6)
+        assert ovf == 0.0
+
+    def test_safe_call_nosafe(self):
+        from volrt.utils.errors import safe_call
+
+        def boom():
+            raise ValueError("x")
+
+        res, err = safe_call(boom, nosafe=True)
+        assert res is None and isinstance(err, ValueError)
+        import pytest
+
+        with pytest.raises(ValueError):
+            safe_call(boom, nosafe=False)

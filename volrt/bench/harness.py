@@ -229,6 +229,76 @@ def run_suite(
     return prof
 
 
+def run_diff_suite(
+    configs: list[tuple[int, int]] | None = None,
+    frames: int = 4,
+    profiler: Profiler | None = None,
+    logger=None,
+    fused: bool = True,
+) -> Profiler:
+    """Differentiable fwd+bwd sweep in the reference CSV-report style
+    (no reference analog — the reference has no backward): one row per
+    (volume_size, viewport) config, each frame a full loss+grad step on
+    the fused kernels, timed through the Profiler like the forward suite.
+    """
+    log = (logger or get_logger()).log
+    prof = profiler or Profiler()
+    if configs is None:
+        configs = [(64, 256), (128, 512), (256, 1024)]
+    name = "fused-v3" if fused else "xla-diff"
+    for n, viewport in configs:
+        cfg = f"diff_{n}_{viewport}"
+        import functools
+
+        from volrt.core.types import default_ray_step
+        from volrt.core.tf import default_transfer_fn
+        from volrt.diff.render import scene_from_volume
+
+        scene = scene_from_volume(
+            jnp.asarray(synthetic_volume(n)), default_transfer_fn(),
+            default_ray_step((n, n, n)))
+        cam = Camera(dims=(viewport, viewport))
+        cam.zoom(-1.0)
+        view = cam.view()
+        target = jnp.zeros((viewport, viewport, 4), jnp.float32)
+
+        if fused:
+            from volrt.diff.fused import l2_loss_fused
+
+            loss_fn = functools.partial(l2_loss_fused, fast=True)
+        else:
+            from volrt.diff.render import render_diff_image
+
+            def loss_fn(s, v, t):
+                return jnp.mean((render_diff_image(s, v) - t) ** 2)
+        grad_fn = jax.value_and_grad(loss_fn)
+        if jax.default_backend() != "cpu":
+            # The outer jit fuses the whole step on TPU; on CPU a second
+            # differently-shaped outer-jit-of-grad-of-inner-jit trace
+            # trips a JAX 0.9 executable-lookup bug ("Execution supplied
+            # 8 buffers but compiled program expected 15"), and the
+            # inner render jit already carries the compute.
+            grad_fn = jax.jit(grad_fn)
+        try:
+            loss, grads = grad_fn(scene, view, target)
+            jax.device_get(jnp.sum(grads.density))
+        except Exception as e:  # OOM / unsupported size
+            log(f"bench {cfg}/{name}: skipped ({e})")
+            continue
+        timed_out = False
+        for _ in range(frames):
+            prof.start(cfg, name)
+            loss, grads = grad_fn(scene, view, target)
+            jax.device_get(jnp.sum(grads.density))
+            ms = prof.stop()
+            if ms > MAX_BENCH_SAMPLE_MS:
+                timed_out = True
+                break
+        log(f"bench config {cfg} done"
+            + (" (timed out)" if timed_out else ""))
+    return prof
+
+
 def bench_diff_step(
     volume_size: int = 256,
     viewport: int = 1024,

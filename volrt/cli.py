@@ -106,23 +106,25 @@ def _render_frame(mod, rc, log, strict):
     """Render one frame; surface the window-overflow counter for the
     windowed kernels (rungs 3/4): a nonzero count means some trilinear taps
     fell outside the static window and contributed zero (the documented
-    approximation) — warn, and fail under ``--strict-overflow``."""
+    approximation) — warn, and fail under ``--strict-overflow``.
+    Frames that exhaust HBM are retried in row bands (the
+    ``cuda_safe_malloc`` soft-OOM analog, reference: cuda_utils.h:43-49)."""
     from volrt.core import sampling
+    from volrt.utils.errors import render_with_oom_fallback
 
     if hasattr(mod, "render_float") and mod.NAME.startswith("pallas"):
-        out = mod.render_float(rc)
-        if isinstance(out, tuple):
-            fimg, ovf = out
-            n = float(ovf)
-            if n > 0:
-                log.log(
-                    "WARNING: %d sample taps fell outside the static "
-                    "window (image locally dimmed); enlarge via a wider "
-                    "window or report this view", int(n))
-                if strict:
-                    return None, int(n)
-        else:
-            fimg = out
+        def one(sub_rc):
+            out = mod.render_float(sub_rc)
+            return out if isinstance(out, tuple) else (out, 0.0)
+
+        fimg, n = render_with_oom_fallback(one, rc, log=log)
+        if n > 0:
+            log.log(
+                "WARNING: %d sample taps fell outside the static "
+                "window (image locally dimmed); enlarge via a wider "
+                "window or report this view", int(n))
+            if strict:
+                return None, int(n)
         return np.asarray(sampling.write_color(fimg)), 0
     return np.asarray(mod.render(rc)), 0
 
@@ -155,9 +157,19 @@ def cmd_render(args) -> int:
     cam = Camera(dims=rc.view.dims, perspective=args.perspective)
     cam.toggle_perspective(update_mode=True)
     cam.set_camera_position(tuple(args.angles), args.distance)
+    from volrt.utils.errors import safe_call
+
     for i in range(args.orbit):
         frame_rc = rc.replace(view=cam.view())
-        img, ovf = _render_frame(mod, frame_rc, log, args.strict_overflow)
+        # -nosafe continues past per-frame failures (reference:
+        # VolR.cpp:404-406, cuda_utils.h:28-29).
+        res, err = safe_call(
+            _render_frame, mod, frame_rc, log, args.strict_overflow,
+            log=log, nosafe=args.nosafe, what=f"orbit frame {i}")
+        if err is not None:
+            cam.rotate((0.0, step_deg, 0.0))
+            continue
+        img, ovf = res
         if img is None:
             log.log("aborting: %d overflowed taps (--strict-overflow)", ovf)
             return 3
@@ -169,7 +181,8 @@ def cmd_render(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    from volrt.bench.harness import default_suite, run_suite
+    from volrt.bench.harness import (
+        default_suite, run_diff_suite, run_suite)
     from volrt.utils.logger import Logger
 
     log = Logger(args.log)
@@ -180,6 +193,10 @@ def cmd_bench(args) -> int:
         logger=log,
         trace_dir=args.trace_dir,
     )
+    if args.diff:
+        diff_cfgs = [(64, 256), (128, 512)] if args.small else None
+        run_diff_suite(configs=diff_cfgs, frames=max(2, args.frames // 2),
+                       profiler=prof, logger=log)
     log.log(prof.print_avg())
     log.log(prof.print_max())
     log.log(prof.print_samples())
@@ -267,10 +284,23 @@ def cmd_info(args) -> int:
 
 def main(argv=None) -> int:
     try:
+        import os
+
         import jax
 
-        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # TPU only: CPU AOT cache entries are host-microarchitecture-
+        # specific, and this cache directory outlives the machine image —
+        # a stale CPU entry loads with mismatched buffer layouts
+        # ("Execution supplied N buffers but compiled program expected
+        # M") or risks SIGILL (cpu_aot_loader logs the feature mismatch).
+        # Checked via the env var, NOT jax.default_backend(): backend
+        # init at CLI startup would block even `volrt info` on TPU
+        # runtime availability.
+        if "cpu" not in (os.environ.get("JAX_PLATFORMS") or "").lower():
+            jax.config.update(
+                "jax_compilation_cache_dir", "/root/.jax_cache")
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
     parser = argparse.ArgumentParser(
@@ -288,6 +318,9 @@ def main(argv=None) -> int:
     p.add_argument("--strict-overflow", action="store_true",
                    help="exit nonzero if any sample tap fell outside the "
                    "kernel's static window")
+    p.add_argument("--nosafe", action="store_true",
+                   help="continue past per-frame render errors in orbit "
+                   "sequences (reference: -nosafe, cuda_utils.h:28-29)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("bench", help="run the benchmark suite")
@@ -299,6 +332,9 @@ def main(argv=None) -> int:
     p.add_argument("--small", action="store_true")
     p.add_argument("--trace-dir", default=None,
                    help="capture a jax.profiler trace of the timed frames")
+    p.add_argument("--diff", action="store_true",
+                   help="append differentiable fwd+bwd rows (fused v3 "
+                        "loss+grad steps) to the report")
     p.add_argument("-o", "--output", default=None, help="CSV report path")
     p.add_argument("--log", default="volrt.log")
     p.set_defaults(fn=cmd_bench)
