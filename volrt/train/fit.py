@@ -157,6 +157,7 @@ def fit(
     resume: bool = False,
     fused: bool = False,
     grad_chunks: int = 0,
+    volume_sharded: bool = False,
 ) -> tuple[DiffScene, list[float]]:
     """Fit the scene to targets; returns (scene, per-step losses).
 
@@ -169,6 +170,11 @@ def fit(
     ``grad_chunks > 1`` (fused only) accumulates gradients over ray-tile
     chunks so huge viewports/volumes keep the streamed-sample backward
     within HBM (diff_v3.loss_grads_v3_chunked).
+    ``volume_sharded=True`` (requires ``mesh``) trains with the volume
+    Z-slab-sharded across the mesh instead of ray-tile data parallelism
+    — the >HBM-volume configuration: each device marches its own slab
+    through the v3 kernels and the seed cotangents flow back across the
+    ppermute opacity scan (dist.volume_sharded).
     """
     import os
 
@@ -176,7 +182,24 @@ def fit(
     loss_grads_fn = None
     constrain_target_rows = True
     two_dispatch = False
-    if fused and mesh is not None:
+    if volume_sharded:
+        if mesh is None:
+            raise ValueError("volume_sharded=True requires a mesh")
+        from volrt.dist.volume_sharded import render_volume_sharded
+
+        vs_mesh = mesh
+        mesh = None  # the slab loss shards itself; state stays local
+        constrain_target_rows = False
+        two_dispatch = True
+
+        def loss_grads_fn(scene, view, target):
+            def loss(s):
+                img = render_volume_sharded(
+                    s, view, vs_mesh, backend="pallas")
+                return jnp.mean((img - target) ** 2)
+
+            return jax.value_and_grad(loss)(scene)
+    elif fused and mesh is not None:
         # Fused kernels under a mesh: shard_map the v3 fwd/bwd over ray
         # tiles (XLA cannot auto-partition a custom kernel). The loss
         # shards its own tiles, so the step wrapper only pins the state
