@@ -87,6 +87,13 @@ class TestHarness:
 def run_cli(*args, timeout=300):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if not env.get("VOLRT_TEST_TPU"):
+        # CPU-mode suite: a site hook registers the TPU backend whenever
+        # PALLAS_AXON_POOL_IPS is set and forces jax_platforms="axon,cpu"
+        # via jax.config (env JAX_PLATFORMS=cpu alone cannot override it
+        # in a subprocess). Strip the trigger so CLI subprocesses stay
+        # hermetic on CPU — otherwise a wedged TPU worker hangs them.
+        env.pop("PALLAS_AXON_POOL_IPS", None)
     return subprocess.run(
         [sys.executable, "-m", "volrt.cli", *args],
         capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO,
