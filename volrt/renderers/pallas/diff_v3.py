@@ -73,6 +73,18 @@ _INF = jnp.float32(1e30)
 # component and measure its share). Production paths leave this empty.
 _BWD_ABLATE: frozenset = frozenset()
 
+# Forward-kernel ablation switches (same contract as _BWD_ABLATE):
+# "wmat" constant tap matrix, "xw" constant x weights, "tf" skip the TF
+# lane gathers, "geom" constant sample coordinates, "groupw" skip the
+# batched compositing weights.
+_FWD_ABLATE: frozenset = frozenset()
+
+# Experiment: under fast mode, cast the z/y hat strips to bf16 BEFORE the
+# (wz*wy, R) expand so the broadcast/repeat/multiply run at half the vreg
+# traffic (the matmul truncates wmat to bf16 either way — the strips are
+# still computed in f32, so only the product rounding changes).
+_WMAT_BF16 = False
+
 
 def default_window(dims, view_dims, perspective=False):
     """Static (wz, wy) per-band window for v3's per-band planned origins.
@@ -289,6 +301,10 @@ def _geometry(rays, B, step, dims, z_off=None, local_d=None):
     started = (bb >= j0).astype(jnp.float32)
     kk = k0 + (bb - j0) * step
     m_ana = alive0 * started * (kk <= kfar).astype(jnp.float32)
+    if "geom" in _FWD_ABLATE:
+        px = py = pz = kk
+        tx = ty = tz = kk + 1.0
+        return tx, ty, tz, m_ana, (px, py, pz)
     px = ox + dx * kk
     py = oy + dy * kk
     pz = oz + dz * kk
@@ -341,10 +357,24 @@ def _band_sample(brick_ref, iotas, tx, ty, tz, z0g, y0g, xo,
            | (lx < 0.0) | (lx > wx - 1.0))
     wzw = jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lz))      # (wz, R)
     wyw = jnp.maximum(0.0, 1.0 - jnp.abs(yrow - ly))      # (wy, R)
-    wmat = (
-        jnp.broadcast_to(wzw[:, None, :], (wz, wy, R)).reshape(wz * wy, R)
-        * pltpu.repeat(wyw, wz, axis=0)
-    ).astype(dtype)
+    if "wmat" in _FWD_ABLATE:
+        wmat = jnp.broadcast_to(
+            wzw[:, None, :], (wz, wy, R)).reshape(wz * wy, R).astype(dtype)
+    elif _WMAT_BF16 and dtype == jnp.bfloat16:
+        # Cast the strips first: the expand (the expensive part) runs on
+        # half the vregs; the matmul would truncate wmat to bf16 anyway.
+        wmat = (
+            jnp.broadcast_to(
+                wzw.astype(dtype)[:, None, :], (wz, wy, R)
+            ).reshape(wz * wy, R)
+            * pltpu.repeat(wyw.astype(dtype), wz, axis=0)
+        )
+    else:
+        wmat = (
+            jnp.broadcast_to(
+                wzw[:, None, :], (wz, wy, R)).reshape(wz * wy, R)
+            * pltpu.repeat(wyw, wz, axis=0)
+        ).astype(dtype)
     bzo = 0  # brick slice offsets are pre-subtracted by the caller
     del bzo
     brick2 = brick_ref  # (wz*wy, wx) view prepared by caller
@@ -352,7 +382,10 @@ def _band_sample(brick_ref, iotas, tx, ty, tz, z0g, y0g, xo,
         brick2, wmat, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=prec)                                    # (wx, R)
-    xw = jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lx))        # (wx, R)
+    if "xw" in _FWD_ABLATE:
+        xw = jnp.broadcast_to(lx * 1e-8, (wx, R))
+    else:
+        xw = jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lx))    # (wx, R)
     sval = jnp.sum(xrows * xw, axis=0, keepdims=True)
     return sval, ovf, (wmat, xw, lx, xrows)
 
@@ -647,7 +680,10 @@ def _fwd_kernel(
             # reads them instead of replaying the gather matmuls (and
             # needs no brick DMA at all) — bit-identical in every mode.
             sv_ref[0, pl.ds(B * G, G), :] = sv8
-        (cr8, cg8, cb8, ca8), _ = _tf_gather(sv8, ovf8, lutl)
+        if "tf" in _FWD_ABLATE:
+            cr8 = cg8 = cb8 = ca8 = sv8 * 0.01
+        else:
+            (cr8, cg8, cb8, ca8), _ = _tf_gather(sv8, ovf8, lutl)
         if shade:
             sv8_2 = jnp.concatenate(svals2, axis=0)
             if save_sv:
@@ -670,7 +706,12 @@ def _fwd_kernel(
                 cr = cr + dsh
                 cg = cg + dsh
                 cb = cb + dsh
-            f, m, acca, fin = _group_weights(ca, m_ana, acca, fin, thr)
+            if "groupw" in _FWD_ABLATE:
+                f = m = m_ana
+                acca = acca + jnp.sum(ca * f, axis=0,
+                                      keepdims=True) * 1e-8
+            else:
+                f, m, acca, fin = _group_weights(ca, m_ana, acca, fin, thr)
             accr = accr + jnp.sum(cr * f, axis=0, keepdims=True)
             accg = accg + jnp.sum(cg * f, axis=0, keepdims=True)
             accb = accb + jnp.sum(cb * f, axis=0, keepdims=True)
