@@ -219,6 +219,115 @@ class TestV3ShadedDiff:
             np.asarray(g_ref.tf_base), np.asarray(g_v3.tf_base), atol=5e-6)
 
 
+class TestPlanSessions:
+    """Static invariants of the plan-time flush-session schedule.
+
+    The kernel's double-buffered flush waits each write-back semaphore
+    exactly once (a second wait would hang on hardware, and interpret
+    mode cannot catch it — copies execute at start()), so the schedule
+    fields that gate those waits are checked here directly."""
+
+    def _plan(self, angles=(30.0, 20.0, 0.0), n=16, wh=32,
+              perspective=False, flush=None):
+        from volrt.renderers.pallas import diff_v3 as D
+        from volrt.renderers.pallas import layout
+
+        scene, _ = setup(n=n, wh=wh)
+        cam = Camera(dims=(wh, wh), perspective=perspective)
+        if perspective:
+            cam.toggle_perspective(update_mode=True)
+        cam.set_camera_position(angles)
+        view = cam.view()
+        d, h, w = scene.density.shape
+        dims = (w, h, d)
+        window = D._norm_window(
+            D.default_window(dims, view.dims, view.perspective))
+        tiles = layout.prepare_ray_tiles_raw(
+            view, scene.ray_step, None, tile_w=D.TILE, tile_h=D.TILE)
+        vols = D._phase_volumes(scene.density, window[2])
+        bz, by = D._brick_shape(vols[0].shape, window[0], window[1])
+        az, ay = D._acc_shape(vols[0].shape, window[0], window[1])
+        if flush is None:
+            fz, fy = az, ay
+        else:
+            fz = min(-(-int(flush[0]) // 8) * 8, az)
+            fy = min(-(-int(flush[1]) // 8) * 8, ay)
+        org = D.plan_windows(
+            tiles, dims, vols[0].shape, scene.ray_step,
+            window[0], window[1], bz, by, wx=window[2],
+            view_dims=view.dims)
+        sorg, lost = D.plan_sessions(
+            org, vols[0].shape, window[0], window[1], fz, fy, window[2])
+        return D, np.asarray(org), np.asarray(sorg), np.asarray(lost), (
+            bz, by, az, ay, fz, fy)
+
+    def test_schedule_invariants(self):
+        for kwargs in ({}, {"angles": (45.0, 45.0, 0.0)},
+                       {"perspective": True}, {"flush": (16, 16)}):
+            D, org, sorg, lost, (bz, by, az, ay, fz, fy) = self._plan(
+                **kwargs)
+            ngl = org[:, 0, D.F_NG]
+            for t in range(org.shape[0]):
+                nl = int(ngl[t])
+                proc = sorg[t, :nl]
+                if nl == 0:
+                    assert not sorg[t, :, D.S_NEW].any()
+                    continue
+                # Every live tile opens a session at group 0, and
+                # session-start groups partition the processed range.
+                assert proc[0, D.S_NEW] == 1
+                assert not sorg[t, nl:, D.S_NEW].any()
+                starts = np.flatnonzero(proc[:, D.S_NEW])
+                # Wait-exactly-once: S_PW at a session start equals
+                # S_WAIT of the previous session's start (the write that
+                # wait already drained must not be waited again).
+                for j, b in enumerate(starts):
+                    if j == 0:
+                        assert proc[b, D.S_WAIT] == 0
+                        assert proc[b, D.S_PW] == 0
+                    else:
+                        assert (proc[b, D.S_PW]
+                                == proc[starts[j - 1], D.S_WAIT])
+                # Placement contains every member group's brick; the
+                # session's flush box stays inside the accumulator.
+                for j, b in enumerate(starts):
+                    e = starts[j + 1] if j + 1 < len(starts) else nl
+                    azo = proc[b, D.S_AZO]
+                    ayo = proc[b, D.S_AYO]
+                    assert 0 <= proc[b, D.S_RZO] <= az - fz
+                    assert 0 <= proc[b, D.S_RYO] <= ay - fy
+                    for g in range(b, e):
+                        assert azo <= org[t, g, D.F_BZO]
+                        assert org[t, g, D.F_BZO] + bz <= azo + az
+                        assert ayo <= org[t, g, D.F_BYO]
+                        assert org[t, g, D.F_BYO] + by <= ayo + ay
+                        assert org[t, g, D.F_XO] == org[t, b, D.F_XO]
+            if (fz, fy) == (az, ay):
+                assert int(lost.sum()) == 0
+
+    def test_full_box_covers_extents(self):
+        """With the default full-accumulator flush box, every written
+        row of every session lies inside its (azo, ayo) + box."""
+        D, org, sorg, lost, (bz, by, az, ay, fz, fy) = self._plan()
+        ngl = org[:, 0, D.F_NG]
+        for t in range(org.shape[0]):
+            nl = int(ngl[t])
+            if nl == 0:
+                continue
+            starts = np.flatnonzero(sorg[t, :nl, D.S_NEW])
+            for j, b in enumerate(starts):
+                e = starts[j + 1] if j + 1 < len(starts) else nl
+                zlo = sorg[t, b, D.S_AZO] + sorg[t, b, D.S_RZO]
+                ylo = sorg[t, b, D.S_AYO] + sorg[t, b, D.S_RYO]
+                for g in range(b, e):
+                    wzl, wzh = org[t, g, D.F_WZL], org[t, g, D.F_WZH]
+                    wyl, wyh = org[t, g, D.F_WYL], org[t, g, D.F_WYH]
+                    if wzh <= wzl:  # dead group, writes exact zeros
+                        continue
+                    assert zlo <= wzl and wzh <= zlo + fz
+                    assert ylo <= wyl and wyh <= ylo + fy
+
+
 class TestV3FlushTrim:
     def test_trimmed_flush_grads_match(self):
         """A written-extent-sized backward flush box produces identical

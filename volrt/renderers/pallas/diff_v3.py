@@ -280,6 +280,186 @@ def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by,
 
 
 # ---------------------------------------------------------------------------
+# Flush-session planning (pure XLA, backward path only)
+# ---------------------------------------------------------------------------
+
+# sorg field indices (int32, per tile x group; valid at session-start
+# groups, zero elsewhere). S_WAIT: this session's read must first drain
+# the previous session's write (overlapping HBM boxes). S_PW: that
+# drain already happened for the previous session's *own* predecessor —
+# i.e. S_WAIT of the previous session-start group — so the slot-reuse
+# wait two sessions later must be skipped (each write is waited exactly
+# once; a second semaphore wait would hang).
+S_NEW, S_AZO, S_AYO, S_RZO, S_RYO, S_WAIT, S_PW = range(7)
+SORG_C = 8  # padded field count
+
+
+def plan_sessions(org, vol_shape, wz, wy, fz, fy, wx):
+    """Precompute the backward kernel's gradient-flush session schedule.
+
+    A *session* is a maximal run of groups sharing one gradient-
+    accumulator placement: same x window, brick z/y containment, and a
+    merged written extent the static ``(fz, fy)`` flush box still covers.
+    Every input to that rule (per-group brick origins and written-row
+    extents) is already in ``org``, so the whole schedule is a plan-time
+    scan — the kernel no longer tracks extents or placement in its
+    carry, and (the point of the exercise) it can *prefetch* each
+    session's HBM gradient box at session start and drain the write-back
+    DMA asynchronously, double-buffered across sessions, instead of a
+    blocking read-modify-write at every flush.
+
+    Returns ``(sorg[T, NG, SORG_C] int32, lost[T] int32)``:
+
+    - ``S_NEW`` marks session-start groups; ``S_AZO/S_AYO`` the
+      accumulator placement applied there; ``S_RZO/S_RYO`` the session's
+      flush-box offsets (within the accumulator — also the read-prefetch
+      box); ``S_WAIT`` set when the session's HBM box overlaps the
+      previous session's written box (the kernel must drain that write
+      before issuing the read).
+    - ``lost`` counts written rows an undersized flush box cannot cover
+      (plan coverage, so ERT early-exit does not mask undersizing);
+      nonzero only for pose-tuned ``flush`` shapes smaller than the
+      written extents. Surfaced through the dTF padding cell [0, 7]
+      exactly as the round-2 in-kernel counter was.
+    """
+    ng = org.shape[1]
+    Dp, Hp = int(vol_shape[0]), int(vol_shape[1])
+    bz, by = _brick_shape(vol_shape, wz, wy)
+    az, ay = _acc_shape(vol_shape, wz, wy)
+    trimmed = (fz, fy) != (az, ay)
+    ngl = org[:, 0, F_NG]                       # (T,)
+    bzo_a = jnp.moveaxis(org[..., F_BZO], 1, 0)  # (NG, T)
+    byo_a = jnp.moveaxis(org[..., F_BYO], 1, 0)
+    xo_a = jnp.moveaxis(org[..., F_XO], 1, 0)
+    ph_a = jnp.moveaxis(org[..., F_PH], 1, 0)
+    wzl_a = jnp.moveaxis(org[..., F_WZL], 1, 0)
+    wzh_a = jnp.moveaxis(org[..., F_WZH], 1, 0)
+    wyl_a = jnp.moveaxis(org[..., F_WYL], 1, 0)
+    wyh_a = jnp.moveaxis(org[..., F_WYH], 1, 0)
+    # Next processed group's brick origin (drift direction), matching the
+    # kernel's Bn = min(B + 1, ng_live - 1) exactly: B == ngl - 1 reads
+    # its own origin.
+    nxt = jnp.concatenate([bzo_a[1:], bzo_a[-1:]], axis=0)
+    nxty = jnp.concatenate([byo_a[1:], byo_a[-1:]], axis=0)
+    b_idx = jnp.arange(ng, dtype=jnp.int32)
+    is_last = b_idx[:, None] + 1 >= ngl[None, :]
+    nbzo_a = jnp.where(is_last, bzo_a, nxt)
+    nbyo_a = jnp.where(is_last, byo_a, nxty)
+
+    def fbox(azo, ayo, lz, hz, ly, hy):
+        zo = jnp.clip((lz - azo) & ~7, 0, az - fz)
+        yo = jnp.clip((ly - ayo) & ~7, 0, ay - fy)
+        if trimmed:
+            lost = (jnp.maximum(azo + zo - lz, 0)
+                    + jnp.maximum(hz - (azo + zo + fz), 0)
+                    + jnp.maximum(ayo + yo - ly, 0)
+                    + jnp.maximum(hy - (ayo + yo + fy), 0))
+            lost = jnp.where(hz > lz, lost, 0)
+        else:
+            lost = jnp.zeros_like(zo)
+        return zo, yo, lost
+
+    def step1(carry, xs):
+        azo, ayo, axo, aph, have, czl, czh, cyl, cyh, lacc = carry
+        B, bzo, byo, xo, ph, gzl, gzh, gyl, gyh, nbzo, nbyo = xs
+        proc = B < ngl
+        tzl = jnp.minimum(czl, gzl)
+        tzh = jnp.maximum(czh, gzh)
+        tyl = jnp.minimum(cyl, gyl)
+        tyh = jnp.maximum(cyh, gyh)
+        _, _, lost_cont = fbox(azo, ayo, tzl, tzh, tyl, tyh)
+        fits = ((have > 0)
+                & (bzo >= azo) & (bzo + bz <= azo + az)
+                & (byo >= ayo) & (byo + by <= ayo + ay)
+                & (xo == axo) & (lost_cont == 0))
+        new = proc & jnp.logical_not(fits)
+        do_flush = new & (have > 0)
+        fzo, fyo, lost = fbox(azo, ayo, czl, czh, cyl, cyh)
+        nzo = jnp.clip(
+            jnp.where(nbzo >= bzo, bzo, bzo + bz - az), 0, Dp - az)
+        nyo = jnp.clip(
+            jnp.where(nbyo >= byo, byo, byo + by - ay) & ~7, 0, Hp - ay)
+        carry = (
+            jnp.where(new, nzo, azo),
+            jnp.where(new, nyo, ayo),
+            jnp.where(new, xo, axo),
+            jnp.where(new, ph, aph),
+            jnp.where(proc, jnp.int32(1), have),
+            jnp.where(proc, jnp.where(fits, tzl, gzl), czl),
+            jnp.where(proc, jnp.where(fits, tzh, gzh), czh),
+            jnp.where(proc, jnp.where(fits, tyl, gyl), cyl),
+            jnp.where(proc, jnp.where(fits, tyh, gyh), cyh),
+            lacc + jnp.where(do_flush, lost, 0),
+        )
+        return carry, (new, do_flush, fzo, fyo, nzo, nyo)
+
+    t = org.shape[0]
+    zi = jnp.zeros((t,), jnp.int32)
+    init = (zi, zi, zi, zi, zi,
+            jnp.full((t,), Dp, jnp.int32), zi,
+            jnp.full((t,), Hp, jnp.int32), zi, zi)
+    xs = (jnp.broadcast_to(b_idx[:, None], (ng, t)),
+          bzo_a, byo_a, xo_a, ph_a, wzl_a, wzh_a, wyl_a, wyh_a,
+          nbzo_a, nbyo_a)
+    carry, ys = jax.lax.scan(step1, init, xs)
+    (azo_e, ayo_e, axo_e, aph_e, have_e,
+     czl_e, czh_e, cyl_e, cyh_e, lacc_e) = carry
+    new_a, do_flush_a, fzo_a, fyo_a, pzo_a, pyo_a = ys
+    fzo_f, fyo_f, lost_f = fbox(azo_e, ayo_e, czl_e, czh_e, cyl_e, cyh_e)
+    lost_t = lacc_e + jnp.where(have_e > 0, lost_f, 0)
+
+    # Reverse pass: each session's own flush box, positioned at its
+    # start group (the box is only known once the session ends — at the
+    # next session's start group, or at loop exit for the last session).
+    def step_r(c, ys_b):
+        cz, cy = c
+        new, do_flush, fzo, fyo = ys_b
+        s_z = jnp.where(new, cz, 0)
+        s_y = jnp.where(new, cy, 0)
+        cz = jnp.where(do_flush, fzo, cz)
+        cy = jnp.where(do_flush, fyo, cy)
+        return (cz, cy), (s_z, s_y)
+
+    _, (rzo_a, ryo_a) = jax.lax.scan(
+        step_r, (fzo_f, fyo_f), (new_a, do_flush_a, fzo_a, fyo_a),
+        reverse=True)
+
+    # Forward pass 2: flag sessions whose HBM read box overlaps the
+    # previous session's written box (same phase buffer + 3-D interval
+    # overlap) — the kernel drains that write before prefetching.
+    def step_w(c, xs_b):
+        valid, pz, py, px, pph, pwait = c
+        new, nzo, nyo, rzo, ryo, xo, ph = xs_b
+        zlo = nzo + rzo
+        ylo = nyo + ryo
+        wait = (new & (valid > 0) & (ph == pph)
+                & (jnp.abs(xo - px) < 128)
+                & (jnp.abs(zlo - pz) < fz) & (jnp.abs(ylo - py) < fy))
+        pw = jnp.where(new, pwait, 0)
+        c = (jnp.where(new, jnp.int32(1), valid),
+             jnp.where(new, zlo, pz), jnp.where(new, ylo, py),
+             jnp.where(new, xo, px), jnp.where(new, ph, pph),
+             jnp.where(new, wait.astype(jnp.int32), pwait))
+        return c, (wait, pw)
+
+    _, (wait_a, pw_a) = jax.lax.scan(
+        step_w, (zi, zi, zi, zi, zi, zi),
+        (new_a, pzo_a, pyo_a, rzo_a, ryo_a, xo_a, ph_a))
+
+    sorg = jnp.zeros((t, ng, SORG_C), jnp.int32)
+    sorg = sorg.at[..., S_NEW].set(
+        jnp.moveaxis(new_a.astype(jnp.int32), 0, 1))
+    sorg = sorg.at[..., S_AZO].set(jnp.moveaxis(pzo_a, 0, 1))
+    sorg = sorg.at[..., S_AYO].set(jnp.moveaxis(pyo_a, 0, 1))
+    sorg = sorg.at[..., S_RZO].set(jnp.moveaxis(rzo_a, 0, 1))
+    sorg = sorg.at[..., S_RYO].set(jnp.moveaxis(ryo_a, 0, 1))
+    sorg = sorg.at[..., S_WAIT].set(
+        jnp.moveaxis(wait_a.astype(jnp.int32), 0, 1))
+    sorg = sorg.at[..., S_PW].set(jnp.moveaxis(pw_a, 0, 1))
+    return sorg, lost_t
+
+
+# ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
 
@@ -815,9 +995,9 @@ def _bwd_kernel(
     dims, ray_step, wz, wy, wx, n_phases, fast, shade=False,
     flush_shape=None, have_sv=False, brick_shape=None, slab=False,
 ):
-    # rest = [sv_in(, sv2_in)] (have_sv inputs), dv0..dv3, dtf[, dacc0]
-    # outputs, [brick scratch, sem] (replay mode only), acc, rmw, sem2,
-    # dtfacc.
+    # rest = [sv_in(, sv2_in)] (have_sv inputs), sorg, dv0..dv3,
+    # dtf[, dacc0] outputs, [brick scratch, sem] (replay mode only),
+    # acc, rmw (2-slot), sem_r, sem_w, dtfacc.
     i = 0
     sv_in_ref = sv2_in_ref = None
     if have_sv:
@@ -826,6 +1006,8 @@ def _bwd_kernel(
         if shade:
             sv2_in_ref = rest[i]
             i += 1
+    sorg_ref = rest[i]
+    i += 1
     dv0_ref, dv1_ref, dv2_ref, dv3_ref, dtf_ref = rest[i:i + 5]
     i += 5
     dr_ref = None
@@ -839,7 +1021,7 @@ def _bwd_kernel(
         brick_ref, sem = rest[i], rest[i + 1]
         i += 2
         bz, by = brick_ref.shape[1], brick_ref.shape[2]
-    acc_ref, rmw_ref, sem2, dtfacc_ref = rest[i:i + 4]
+    acc_ref, rmw_ref, sem_r, sem_w, dtfacc_ref = rest[i:i + 5]
     del dv0_in_ref, dv1_in_ref, dv2_in_ref, dv3_in_ref  # aliased
     abl = _BWD_ABLATE
     dtype = v0_ref.dtype
@@ -867,9 +1049,7 @@ def _bwd_kernel(
     slopel = jnp.where(
         lane_idx < TF_SIZE - 1,
         (pltpu.roll(lutl, TF_SIZE - 1, axis=1) - lutl) * TF_SIZE, 0.0)
-    az, ay = acc_ref.shape[0], acc_ref.shape[1]
-    fz, fy = rmw_ref.shape[0], rmw_ref.shape[1]
-    trimmed = (fz, fy) != (az, ay)
+    fz, fy = rmw_ref.shape[1], rmw_ref.shape[2]
     ng_live = org_ref[0, 0, F_NG]
 
     @pl.when(pl.program_id(0) == 0)
@@ -892,55 +1072,66 @@ def _bwd_kernel(
         def _():
             start_brick(0, 0)
 
-    def _flush_box(azo, ayo, wzl, wzh, wyl, wyh):
-        """Box offsets (within the accumulator) for the session's RMW,
-        plus the count of written rows the static (fz, fy) box cannot
-        cover (nonzero only for undersized pose-tuned ``flush`` shapes —
-        counted, never silently dropped)."""
-        zo = jnp.clip((wzl - azo) & ~7, 0, az - fz)
-        yo_ = jnp.clip((wyl - ayo) & ~7, 0, ay - fy)
-        lost = jnp.int32(0)
-        if trimmed:
-            lost = (
-                jnp.maximum(azo + zo - wzl, 0)
-                + jnp.maximum(wzh - (azo + zo + fz), 0)
-                + jnp.maximum(ayo + yo_ - wyl, 0)
-                + jnp.maximum(wyh - (ayo + yo_ + fy), 0))
-            # A neutral (empty) session has wzh <= wzl: nothing written.
-            lost = jnp.where(wzh > wzl, lost, 0)
-        return zo, yo_, lost
+    # Double-buffered flush RMW over plan-time sessions (plan_sessions):
+    # each session's HBM gradient box is *prefetched* at session start
+    # (read DMA issued alongside 4-6 groups of compute), and the
+    # write-back drains asynchronously into the next session. Only the
+    # VPU add is left on the critical path — round 2's blocking
+    # read + add + blocking write per flush is fully overlapped.
+    shift = wx // 2
 
-    def flush(azo, ayo, axo, aph, zo, yo_):
-        """RMW the session's written box back into the HBM gradient
-        buffer, then re-zero exactly that box."""
+    def _rmw_wait_read(s):
+        # Wait-by-size: the descriptor only sizes the semaphore wait,
+        # so static offsets stand in for the session's real box.
+        pltpu.make_async_copy(
+            dv_refs[0].at[pl.ds(0, fz), pl.ds(0, fy), pl.ds(0, 128)],
+            rmw_ref.at[s], sem_r.at[s]).wait()
+
+    def _rmw_wait_write(s):
+        pltpu.make_async_copy(
+            rmw_ref.at[s],
+            dv_refs[0].at[pl.ds(0, fz), pl.ds(0, fy), pl.ds(0, 128)],
+            sem_w.at[s]).wait()
+
+    def _rmw_read(s, azo, ayo, axo, aph, zo, yo_):
         ayo = pl.multiple_of(ayo, 8)
-        shift = wx // 2
         zo = pl.multiple_of(zo, 8)
         yo_ = pl.multiple_of(yo_, 8)
+        for p in range(n_phases):
+            @pl.when(aph == p)
+            def _(p=p, s=s):
+                sx = pl.multiple_of(axo - shift * p, 128)
+                pltpu.make_async_copy(
+                    dv_refs[p].at[pl.ds(azo + zo, fz),
+                                  pl.ds(ayo + yo_, fy), pl.ds(sx, 128)],
+                    rmw_ref.at[s], sem_r.at[s]).start()
 
-        def rmw(dv_ref, sx):
-            sx = pl.multiple_of(sx, 128)
-            rd = pltpu.make_async_copy(
-                dv_ref.at[pl.ds(azo + zo, fz), pl.ds(ayo + yo_, fy),
-                          pl.ds(sx, 128)],
-                rmw_ref, sem2)
-            rd.start()
-            rd.wait()
-            rmw_ref[...] = rmw_ref[...] + acc_ref[
-                pl.ds(zo, fz), pl.ds(yo_, fy), :]
-            wr = pltpu.make_async_copy(
-                rmw_ref,
-                dv_ref.at[pl.ds(azo + zo, fz), pl.ds(ayo + yo_, fy),
-                          pl.ds(sx, 128)],
-                sem2)
-            wr.start()
-            wr.wait()
-
+    def flush(azo, ayo, axo, aph, zo, yo_, k):
+        """Drain the session that just ended: wait its prefetched HBM
+        box, fold the accumulator's written box into it, start the
+        write-back (waited two sessions later / at kernel end), and
+        re-zero exactly that box."""
+        ayo = pl.multiple_of(ayo, 8)
+        zo = pl.multiple_of(zo, 8)
+        yo_ = pl.multiple_of(yo_, 8)
         if "flush" not in abl:
-            for p in range(n_phases):
-                @pl.when(aph == p)
-                def _(p=p):
-                    rmw(dv_refs[p], axo - shift * p)
+            for s in range(2):
+                @pl.when((k & 1) == s)
+                def _(s=s):
+                    _rmw_wait_read(s)
+                    rmw_ref[s] = rmw_ref[s] + acc_ref[
+                        pl.ds(zo, fz), pl.ds(yo_, fy), :]
+                    for p in range(n_phases):
+                        @pl.when(aph == p)
+                        def _(p=p, s=s):
+                            sx = pl.multiple_of(axo - shift * p, 128)
+                            pltpu.make_async_copy(
+                                rmw_ref.at[s],
+                                dv_refs[p].at[
+                                    pl.ds(azo + zo, fz),
+                                    pl.ds(ayo + yo_, fy),
+                                    pl.ds(sx, 128)],
+                                sem_w.at[s]).start()
         # Zero only the flushed box: rows outside it were never written
         # with nonzero values (window rows beyond the tap support add
         # exact zeros), so the accumulator stays all-zero inductively.
@@ -948,8 +1139,7 @@ def _bwd_kernel(
             (fz, fy, 128), jnp.float32)
 
     def body(carry):
-        (B, acca, fin, P, azo, ayo, axo, aph, have,
-         wzl, wzh, wyl, wyh, flost) = carry
+        (B, acca, fin, P, azo, ayo, axo, aph, rzo, ryo, k, wf) = carry
         slot = B & 1
         if not have_sv:
             wait_brick(B, slot)
@@ -962,63 +1152,47 @@ def _bwd_kernel(
         byo = pl.multiple_of(org_ref[0, B, F_BYO], 8)
         xo = org_ref[0, B, F_XO]
 
-        # Session written-extent tracking: tentative merge with this
-        # group's extents (used if the session continues).
-        g_wzl = org_ref[0, B, F_WZL]
-        g_wzh = org_ref[0, B, F_WZH]
-        g_wyl = org_ref[0, B, F_WYL]
-        g_wyh = org_ref[0, B, F_WYH]
-        t_wzl = jnp.minimum(wzl, g_wzl)
-        t_wzh = jnp.maximum(wzh, g_wzh)
-        t_wyl = jnp.minimum(wyl, g_wyl)
-        t_wyh = jnp.maximum(wyh, g_wyh)
+        # Plan-time session schedule: flush the finished session, then
+        # prefetch the new session's HBM gradient box (read overlaps the
+        # next 4-6 groups of compute; the write drains into them too).
+        new = sorg_ref[0, B, S_NEW] > 0
+        kp = k + 1  # the new session's index (valid where new)
 
-        # (Re)center the gradient accumulator when this group's windows
-        # leave its coverage (conservative bound: brick extent) OR when
-        # the merged written extent would outgrow the static flush box
-        # (guarantees lost == 0 whenever a single group's extent fits).
-        _, _, lost_cont = _flush_box(azo, ayo, t_wzl, t_wzh,
-                                     t_wyl, t_wyh)
-        fits = (
-            (have > 0)
-            & (bzo >= azo) & (bzo + bz <= azo + az)
-            & (byo >= ayo) & (byo + by <= ayo + ay)
-            & (xo == axo)
-            & (lost_cont == 0)
-        )
-
-        do_flush = jnp.logical_not(fits) & (have > 0)
-        fzo, fyo, lost = _flush_box(azo, ayo, wzl, wzh, wyl, wyh)
-        flost = flost + jnp.where(do_flush, lost, 0)
-
-        @pl.when(do_flush)
+        @pl.when(new & (k >= 0))
         def _():
-            flush(azo, ayo, axo, aph, fzo, fyo)
+            flush(azo, ayo, axo, aph, rzo, ryo, k)
 
-        Dp = v0_ref.shape[0]
-        Hp = v0_ref.shape[1]
-        # Drift-aware placement: put the brick at the accumulator's
-        # trailing edge (headroom ahead of the march direction, read from
-        # the next group's planned brick origin) — centered placement
-        # wastes half the headroom and recenters every group at 8-voxel
-        # per-group drift.
-        Bn = jnp.minimum(B + 1, ng_live - 1)
-        drift_z_up = org_ref[0, Bn, F_BZO] >= bzo
-        drift_y_up = org_ref[0, Bn, F_BYO] >= byo
-        nzo = jnp.clip(
-            jnp.where(drift_z_up, bzo, bzo + bz - az), 0, Dp - az)
-        nyo = jnp.clip(
-            jnp.where(drift_y_up, byo, byo + by - ay) & ~7, 0, Hp - ay)
-        azo = jnp.where(fits, azo, nzo)
-        ayo = pl.multiple_of(jnp.where(fits, ayo, nyo), 8)
-        axo = jnp.where(fits, axo, xo)
-        aph = jnp.where(fits, aph, org_ref[0, B, F_PH])
-        have = jnp.int32(1)
+        n_azo = sorg_ref[0, B, S_AZO]
+        n_ayo = pl.multiple_of(sorg_ref[0, B, S_AYO], 8)
+        n_rzo = sorg_ref[0, B, S_RZO]
+        n_ryo = sorg_ref[0, B, S_RYO]
+        n_aph = org_ref[0, B, F_PH]
+        if "flush" not in abl:
+            for s in range(2):
+                @pl.when(new & ((kp & 1) == s))
+                def _(s=s):
+                    # Slot reuse: the write issued two sessions ago must
+                    # drain before this read lands in the buffer —
+                    # unless the previous session's S_WAIT already
+                    # drained it (each write is waited exactly once).
+                    @pl.when((kp >= 2) & (sorg_ref[0, B, S_PW] == 0))
+                    def _(s=s):
+                        _rmw_wait_write(s)
+                    # Overlapping HBM boxes (plan-time flag): the
+                    # previous session's write must land before we read.
+                    @pl.when(sorg_ref[0, B, S_WAIT] > 0)
+                    def _(s=s):
+                        _rmw_wait_write(1 - s)
+                    _rmw_read(s, n_azo, n_ayo, xo, n_aph, n_rzo, n_ryo)
 
-        wzl = jnp.where(fits, t_wzl, g_wzl)
-        wzh = jnp.where(fits, t_wzh, g_wzh)
-        wyl = jnp.where(fits, t_wyl, g_wyl)
-        wyh = jnp.where(fits, t_wyh, g_wyh)
+        azo = jnp.where(new, n_azo, azo)
+        ayo = pl.multiple_of(jnp.where(new, n_ayo, ayo), 8)
+        axo = jnp.where(new, xo, axo)
+        aph = jnp.where(new, n_aph, aph)
+        rzo = jnp.where(new, n_rzo, rzo)
+        ryo = jnp.where(new, n_ryo, ryo)
+        wf = jnp.where(new, sorg_ref[0, B, S_WAIT], wf)
+        k = jnp.where(new, kp, k)
 
         tx, ty, tz, m_ana, pw = _geometry(
             rays, B, ray_step, dims,
@@ -1189,8 +1363,7 @@ def _bwd_kernel(
                 # Keep dbrick live so DCE can't drop the matmul itself
                 # (cheap sink: one row, no full reduction).
                 acca = acca + dbrick[0:1, 0:1] * 1e-30
-        return (B + 1, acca, fin, P, azo, ayo, axo, aph, have,
-                wzl, wzh, wyl, wyh, flost)
+        return (B + 1, acca, fin, P, azo, ayo, axo, aph, rzo, ryo, k, wf)
 
     def cond(carry):
         B, fin = carry[0], carry[2]
@@ -1203,23 +1376,30 @@ def _bwd_kernel(
         1.0 - alive0, alive0 * (acc0_row > thr).astype(jnp.float32)
     ) if slab else (1.0 - alive0)
     res = jax.lax.while_loop(
-        cond, body, (0, acca0, fin0, z, zi, zi, zi, zi, zi,
-                     zi, zi, zi, zi, zi))
+        cond, body, (0, acca0, fin0, z, zi, zi, zi, zi, zi, zi,
+                     jnp.int32(-1), zi))
     B_exit = res[0]
-    azo, ayo, axo, aph, have = res[4], res[5], res[6], res[7], res[8]
-    wzl, wzh, wyl, wyh, flost = res[9], res[10], res[11], res[12], res[13]
+    azo, ayo, axo, aph = res[4], res[5], res[6], res[7]
+    rzo, ryo, k, wf = res[8], res[9], res[10], res[11]
 
     if not have_sv:
         @pl.when(B_exit < ng_live)
         def _():
             wait_brick(B_exit, B_exit & 1)
 
-    fzo, fyo, lost = _flush_box(azo, ayo, wzl, wzh, wyl, wyh)
-    flost = flost + jnp.where(have > 0, lost, 0)
-
-    @pl.when(have > 0)
+    @pl.when(k >= 0)
     def _():
-        flush(azo, ayo, axo, aph, fzo, fyo)
+        flush(azo, ayo, axo, aph, rzo, ryo, k)
+
+    # Drain the outstanding write-backs before the kernel ends: the
+    # final session's, and the one before it unless the final session's
+    # S_WAIT already drained it (never wait a semaphore twice).
+    if "flush" not in abl:
+        for s in range(2):
+            @pl.when(((k >= 0) & ((k & 1) == s))
+                     | ((k >= 1) & ((k & 1) != s) & (wf == 0)))
+            def _(s=s):
+                _rmw_wait_write(s)
 
     if slab:
         # Seed cotangent: out = seed + (1 - acc0) * U with U the unseeded
@@ -1232,14 +1412,6 @@ def _bwd_kernel(
             [dacc0, jnp.zeros((7, R), jnp.float32)], axis=0)
 
     dtf_ref[...] += dtfacc_ref[...]
-    if trimmed:
-        # Surface the flush-clip count through the (otherwise zero) TF
-        # padding column: dtf[0, 7] accumulates lost-row counts.
-        mask = ((jax.lax.broadcasted_iota(jnp.int32, (TF_SIZE, 8), 0)
-                 == 0)
-                & (jax.lax.broadcasted_iota(jnp.int32, (TF_SIZE, 8), 1)
-                   == 7)).astype(jnp.float32)
-        dtf_ref[...] += mask * flost.astype(jnp.float32)
 
 
 def _brick_shape(vol_shape, wz, wy):
@@ -1367,7 +1539,11 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
         pl.BlockSpec((1, ngr * G, R), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM)
         for _ in sv_ins
+    ] + [
+        pl.BlockSpec((1, ngr, SORG_C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
     ]
+    sorg, lost_t = plan_sessions(org, v4[0].shape, wz, wy, fz, fy, wx)
     out_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
@@ -1396,14 +1572,22 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
             pltpu.SemaphoreType.DMA((2,)),
         ]) + [
             pltpu.VMEM((az, ay, 128), jnp.float32),
-            pltpu.VMEM((fz, fy, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, fz, fy, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM(tfl.shape, jnp.float32),
         ],
         input_output_aliases={10: 0, 11: 1, 12: 2, 13: 3},
         interpret=interpret_mode(),
-    )(scal, org, rays_t, *v4, tfl, lutl, gG, *dv_inits, *sv_ins)
-    return outs[:n_phases], outs[4], (outs[5] if slab else None)
+    )(scal, org, rays_t, *v4, tfl, lutl, gG, *dv_inits, *sv_ins, sorg)
+    dtf = outs[4]
+    if (fz, fy) != (az, ay):
+        # Surface the plan-time flush-clip count through the (otherwise
+        # zero) dTF padding cell [0, 7] — same observable as round 2's
+        # in-kernel counter, but computed from planned (not realized)
+        # coverage, so ERT early exit cannot mask an undersized box.
+        dtf = dtf.at[0, 7].add(jnp.sum(lost_t).astype(jnp.float32))
+    return outs[:n_phases], dtf, (outs[5] if slab else None)
 
 
 def _pack_gG(g, out):
