@@ -85,6 +85,26 @@ _FWD_ABLATE: frozenset = frozenset()
 # still computed in f32, so only the product rounding changes).
 _WMAT_BF16 = False
 
+# Experiment: build the (wz*wy, R) tap matrix as ONE broadcast-multiply
+# (wzw[:, None, :] * wyw[None, :, :] -> reshape) instead of
+# broadcast_to-reshape x pltpu.repeat x multiply. Mathematically
+# identical; the question is whether Mosaic lowers the 3-D broadcast
+# multiply in one pass (the expand is ~(wz*wy) vreg rows touched ~3x —
+# a large share of both kernels' VPU floor). Hardware A/B via jobd.
+_WMAT_DIRECT = False
+
+
+def _expand_taps(wzw, wyw, wz, wy, dtype):
+    """(wz, R) x (wy, R) hat strips -> (wz*wy, R) tap matrix, row-major
+    (z outer, y inner) to match the brick view's reshape."""
+    if _WMAT_DIRECT:
+        return (wzw[:, None, :] * wyw[None, :, :]).reshape(
+            wz * wy, R).astype(dtype)
+    return (
+        jnp.broadcast_to(wzw[:, None, :], (wz, wy, R)).reshape(wz * wy, R)
+        * pltpu.repeat(wyw, wz, axis=0)
+    ).astype(dtype)
+
 
 def default_window(dims, view_dims, perspective=False):
     """Static (wz, wy) per-band window for v3's per-band planned origins.
@@ -543,18 +563,10 @@ def _band_sample(brick_ref, iotas, tx, ty, tz, z0g, y0g, xo,
     elif _WMAT_BF16 and dtype == jnp.bfloat16:
         # Cast the strips first: the expand (the expensive part) runs on
         # half the vregs; the matmul would truncate wmat to bf16 anyway.
-        wmat = (
-            jnp.broadcast_to(
-                wzw.astype(dtype)[:, None, :], (wz, wy, R)
-            ).reshape(wz * wy, R)
-            * pltpu.repeat(wyw.astype(dtype), wz, axis=0)
-        )
+        wmat = _expand_taps(
+            wzw.astype(dtype), wyw.astype(dtype), wz, wy, dtype)
     else:
-        wmat = (
-            jnp.broadcast_to(
-                wzw[:, None, :], (wz, wy, R)).reshape(wz * wy, R)
-            * pltpu.repeat(wyw, wz, axis=0)
-        ).astype(dtype)
+        wmat = _expand_taps(wzw, wyw, wz, wy, dtype)
     bzo = 0  # brick slice offsets are pre-subtracted by the caller
     del bzo
     brick2 = brick_ref  # (wz*wy, wx) view prepared by caller
@@ -823,9 +835,7 @@ def _fwd_kernel(
                 yw_d = (jnp.maximum(0.0, 1.0 - jnp.abs(yrow - lyp))
                         - jnp.maximum(0.0, 1.0 - jnp.abs(yrow - lym)))
                 wzw = jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lz))
-                wmat_dy = (jnp.broadcast_to(
-                    wzw[:, None, :], (wz, wy, R)).reshape(wz * wy, R)
-                    * pltpu.repeat(yw_d, wz, axis=0)).astype(dtype)
+                wmat_dy = _expand_taps(wzw, yw_d, wz, wy, dtype)
                 gy = jnp.sum(jax.lax.dot_general(
                     bview, wmat_dy, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -839,9 +849,7 @@ def _fwd_kernel(
                 zw_d = (jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lzp))
                         - jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lzm)))
                 wyw = jnp.maximum(0.0, 1.0 - jnp.abs(yrow - ly))
-                wmat_dz = (jnp.broadcast_to(
-                    zw_d[:, None, :], (wz, wy, R)).reshape(wz * wy, R)
-                    * pltpu.repeat(wyw, wz, axis=0)).astype(dtype)
+                wmat_dz = _expand_taps(zw_d, wyw, wz, wy, dtype)
                 gz = jnp.sum(jax.lax.dot_general(
                     bview, wmat_dz, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -1324,9 +1332,7 @@ def _bwd_kernel(
             else:
                 wzw = jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lz))
                 wyw = jnp.maximum(0.0, 1.0 - jnp.abs(yrow - ly))
-                wmat = (jnp.broadcast_to(
-                    wzw[:, None, :], (wz, wy, R)).reshape(wz * wy, R)
-                    * pltpu.repeat(wyw, wz, axis=0))
+                wmat = _expand_taps(wzw, wyw, wz, wy, jnp.float32)
             xw = jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lx))
             Dx = dsval * xw                          # (wx, R)
             if "dbrick" in abl:
@@ -1344,9 +1350,7 @@ def _bwd_kernel(
                 lx2 = tx2[g:g + 1] - xo.astype(jnp.float32)
                 wzw2 = jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lz2))
                 wyw2 = jnp.maximum(0.0, 1.0 - jnp.abs(yrow - ly2))
-                wmat2 = (jnp.broadcast_to(
-                    wzw2[:, None, :], (wz, wy, R)).reshape(wz * wy, R)
-                    * pltpu.repeat(wyw2, wz, axis=0))
+                wmat2 = _expand_taps(wzw2, wyw2, wz, wy, jnp.float32)
                 xw2 = jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lx2))
                 dbrick = dbrick + jax.lax.dot_general(
                     wmat2, dsval2 * xw2, (((1,), (1,)), ((), ())),
