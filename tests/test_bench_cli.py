@@ -194,6 +194,19 @@ class TestProfilerMFU:
 
 
 class TestBenchFileConfig:
+    def test_fit_dist_rays(self, tmp_path):
+        """fit --dist rays: the CLI trains over all local devices with
+        ray-tile data parallelism (shard_map'ed fused kernels)."""
+        log = str(tmp_path / "fit.log")
+        r = run_cli(
+            "fit", "--synthetic", "8", "--steps", "1", "--fused",
+            "--dist", "rays", "--log", log, timeout=560,
+        )
+        assert r.returncode == 0, r.stderr
+        txt = open(log).read()
+        assert "dist=rays" in txt
+        assert "fit step 0" in txt
+
     def test_pvm_file_driven_config(self, tmp_path):
         """bench -f <pvm>: file-driven dataset configs (the reference
         loads seven named PVM datasets, VolR.cpp:255-268)."""

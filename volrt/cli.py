@@ -242,6 +242,12 @@ def cmd_fit(args) -> int:
         tf_base=tf_base,
         ray_step=step,
     )
+    mesh = None
+    if args.dist != "none":
+        from volrt.dist.mesh import make_mesh
+
+        mesh = make_mesh()
+        log.log("dist=%s over %d devices", args.dist, len(mesh.devices))
     scene, losses = fit(
         scene, targets, steps=args.steps, lr=args.lr,
         train_tf=False, log_every=max(1, args.steps // 10), logger=log,
@@ -250,6 +256,8 @@ def cmd_fit(args) -> int:
         resume=args.resume,
         fused=args.fused,
         grad_chunks=args.grad_chunks,
+        mesh=mesh,
+        volume_sharded=(args.dist == "volume"),
     )
     if losses:
         log.log_time("final loss %.6f", losses[-1])
@@ -354,6 +362,12 @@ def main(argv=None) -> int:
     p.add_argument("--fused", action="store_true",
                    help="train through the fused Pallas kernels (TPU "
                    "fast path)")
+    p.add_argument("--dist", choices=["none", "rays", "volume"],
+                   default="none",
+                   help="train over all local devices: rays = ray-tile "
+                        "data parallelism (volume replicated, gradient "
+                        "psum over ICI); volume = Z-slab volume sharding "
+                        "(the >HBM-volume mode)")
     p.add_argument("--grad-chunks", type=int, default=0,
                    help="accumulate gradients over N ray-tile chunks "
                    "(fused only; keeps 512^3-scale backward in HBM)")
