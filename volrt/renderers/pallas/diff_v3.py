@@ -74,9 +74,11 @@ _INF = jnp.float32(1e30)
 _BWD_ABLATE: frozenset = frozenset()
 
 # Forward-kernel ablation switches (same contract as _BWD_ABLATE):
-# "wmat" constant tap matrix, "xw" constant x weights, "tf" skip the TF
-# lane gathers, "geom" constant sample coordinates, "groupw" skip the
-# batched compositing weights.
+# "wmat" constant tap matrix (hat math removed, expand kept), "expand"
+# fully constant tap matrix (strips AND expand removed — the expand is
+# what the "wmat" switch still pays), "xw" constant x weights, "tf"
+# skip the TF lane gathers, "geom" constant sample coordinates,
+# "groupw" skip the batched compositing weights.
 _FWD_ABLATE: frozenset = frozenset()
 
 # Experiment: under fast mode, cast the z/y hat strips to bf16 BEFORE the
@@ -557,7 +559,9 @@ def _band_sample(brick_ref, iotas, tx, ty, tz, z0g, y0g, xo,
            | (lx < 0.0) | (lx > wx - 1.0))
     wzw = jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lz))      # (wz, R)
     wyw = jnp.maximum(0.0, 1.0 - jnp.abs(yrow - ly))      # (wy, R)
-    if "wmat" in _FWD_ABLATE:
+    if "expand" in _FWD_ABLATE:
+        wmat = jnp.full((wz * wy, R), 0.01, dtype)
+    elif "wmat" in _FWD_ABLATE:
         wmat = jnp.broadcast_to(
             wzw[:, None, :], (wz, wy, R)).reshape(wz * wy, R).astype(dtype)
     elif _WMAT_BF16 and dtype == jnp.bfloat16:
@@ -1325,7 +1329,9 @@ def _bwd_kernel(
             lz = tz[g:g + 1] - z0g.astype(jnp.float32)
             ly = ty[g:g + 1] - y0g.astype(jnp.float32)
             lx = tx[g:g + 1] - xo.astype(jnp.float32)
-            if "wmat" in abl:
+            if "expand" in abl:
+                wmat = jnp.full((wz * wy, R), 0.01, jnp.float32)
+            elif "wmat" in abl:
                 wmat = jnp.broadcast_to(
                     (zrow - lz)[:, None, :], (wz, wy, R)).reshape(
                         wz * wy, R)
