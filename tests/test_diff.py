@@ -50,6 +50,42 @@ class TestForward:
         b = np.asarray(render_diff_image(scene, view, ray_threshold=2.0))
         np.testing.assert_allclose(a, b, atol=1e-5)
 
+    def test_phong_matches_batched_renderer(self):
+        """Gradient-Phong in the diff path equals the batched renderer's
+        phong mode (same six central-difference taps + Blinn-Phong), so
+        shaded inverse rendering covers both shading models."""
+        from volrt.core.types import Volume, make_raycaster
+        from volrt.renderers import batched
+
+        data = synthetic_volume(8)
+        view = tiny_view()
+        rc = make_raycaster(
+            Volume.from_numpy(data), view=view, interpolation="trilinear",
+            esl=False, light_kd=0.6, ray_threshold=2.0, shading="phong",
+        )
+        a = np.asarray(batched.render_float(rc))
+        scene = scene_from_volume(
+            jnp.asarray(data), default_transfer_fn(), rc.ray_step
+        )
+        b = np.asarray(render_diff_image(
+            scene, view, ray_threshold=2.0, light_kd=0.6, phong=True))
+        np.testing.assert_allclose(a, b, atol=2e-3)
+
+    def test_phong_grads_finite_nonzero(self):
+        scene = tiny_scene()
+        view = tiny_view()
+
+        def loss(s):
+            img = render_diff_image(
+                s, view, light_kd=0.6, phong=True)
+            return jnp.mean(img**2)
+
+        g = jax.grad(loss)(scene)
+        gd = np.asarray(g.density)
+        gt = np.asarray(g.tf_base)
+        assert np.isfinite(gd).all() and np.isfinite(gt).all()
+        assert np.abs(gd).sum() > 0 and np.abs(gt).sum() > 0
+
     def test_ert_threshold(self):
         scene = tiny_scene()
         img_ert = render_diff_image(scene, tiny_view(), ray_threshold=0.5)

@@ -93,6 +93,7 @@ def render_diff(
     esl: bool = False,
     light_kd: jax.Array | float = 0.0,
     light_pos: jax.Array | None = None,
+    phong: bool = False,
 ) -> jax.Array:
     """Render rays differentiably; returns premultiplied RGBA ``(..., 4)``.
 
@@ -100,8 +101,16 @@ def render_diff(
     :func:`scene_empty_grid` for the gradient caveat). ``light_kd > 0``
     enables the reference's gated one-tap diffuse shading
     (reference: RaycasterBase.h:87-98), differentiable through both taps.
+    ``phong=True`` (requires ``light_pos``) replaces the diffuse tap with
+    gradient Blinn-Phong (semantics of renderers.common.phong_shade:
+    central-difference normals from six ±1-voxel taps, all
+    differentiable), so shaded inverse rendering covers both shading
+    models.
     """
     from volrt.constants import (
+        PHONG_KA,
+        PHONG_KS,
+        PHONG_SHININESS,
         SHADE_ALPHA_GATE,
         SHADE_KD_GATE,
         SHADE_LIGHT_OFFSET,
@@ -132,6 +141,16 @@ def render_diff(
         return premult_tf[lo] * (1 - frac) + premult_tf[hi] * frac
 
     shaded = light_pos is not None
+    if phong and light_pos is None:
+        raise ValueError("phong=True requires light_pos")
+    d_, h_, w_ = scene.density.shape
+
+    def _safe_normalize(v):
+        # max() before sqrt keeps the *gradient* finite at v == 0 (flat
+        # density regions): the eps branch has zero derivative, while
+        # normalizing by max(||v||, eps) still differentiates ||v|| at 0.
+        n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+        return v * jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
 
     def step(carry, i):
         acc, alive = carry
@@ -139,7 +158,30 @@ def render_diff(
         pt = origins + directions * k[..., None]
         val = sampling.sample_trilinear_f(scene.density, pt)
         color = tf_lookup(val)
-        if shaded:
+        if phong:
+            # Gradient Blinn-Phong (renderers.common.phong_shade): the
+            # six central-difference taps and the normal normalization
+            # are plain jnp, so autodiff supplies the shaded backward.
+            ldir = _safe_normalize(light_pos - pt)
+            comps = []
+            for axis, n in ((0, w_), (1, h_), (2, d_)):
+                off = jnp.zeros((3,), jnp.float32).at[axis].set(2.0 / n)
+                comps.append(
+                    sampling.sample_trilinear_f(scene.density, pt + off)
+                    - sampling.sample_trilinear_f(scene.density, pt - off))
+            nrm = -_safe_normalize(jnp.stack(comps, axis=-1))
+            vdir = _safe_normalize(-directions)
+            half = _safe_normalize(ldir + vdir)
+            ndl = jnp.maximum(jnp.sum(nrm * ldir, axis=-1), 0.0)
+            ndh = jnp.maximum(jnp.sum(nrm * half, axis=-1), 0.0)
+            alpha = color[..., 3]
+            lit = (color[..., :3] * (PHONG_KA + light_kd * ndl)[..., None]
+                   + (PHONG_KS * ndh ** PHONG_SHININESS * alpha)[..., None])
+            gate = ((alpha > SHADE_ALPHA_GATE)
+                    & (light_kd > SHADE_KD_GATE))
+            rgb = jnp.where(gate[..., None], lit, color[..., :3])
+            color = jnp.concatenate([rgb, color[..., 3:4]], axis=-1)
+        elif shaded:
             ldir = light_pos - pt
             ldir = ldir / jnp.linalg.norm(ldir, axis=-1, keepdims=True)
             val_l = sampling.sample_trilinear_f(
@@ -180,21 +222,23 @@ def render_diff(
     return acc
 
 
-@partial(jax.jit, static_argnames=("esl", "shaded"))
+@partial(jax.jit, static_argnames=("esl", "shaded", "phong"))
 def render_diff_image(
     scene: DiffScene, view: View, ray_threshold: jax.Array | float = 0.95,
     esl: bool = False, light_kd: jax.Array | float = 0.0,
-    shaded: bool = False,
+    shaded: bool = False, phong: bool = False,
 ) -> jax.Array:
     """Render a full viewport differentiably -> ``f32[H, W, 4]``.
 
     ``shaded=True`` applies the diffuse light tap with the view's light
-    position and ``light_kd``."""
+    position and ``light_kd``; ``phong=True`` applies gradient
+    Blinn-Phong instead (both fully differentiable)."""
     origins, directions = rays_mod.get_rays(view)
     return render_diff(
         scene, origins, directions, ray_threshold, esl=esl,
         light_kd=light_kd,
-        light_pos=(view.light_pos if shaded else None))
+        light_pos=(view.light_pos if (shaded or phong) else None),
+        phong=phong)
 
 
 def scene_from_volume(volume_u8: jax.Array, tf_base: jax.Array,
