@@ -162,6 +162,27 @@ class TestFit:
         )
         assert losses[-1] < losses[0] * 0.8
 
+    def test_shaded_fit_loss_decreases(self):
+        """Shaded inverse rendering: diffuse targets through the fused
+        kernels' analytic shaded backward, phong through XLA autodiff."""
+        gt = tiny_scene()
+        view = tiny_view()
+        for shading, fused in (("diffuse", True), ("phong", False)):
+            target = render_diff_image(
+                gt, view, light_kd=0.6,
+                shaded=(shading == "diffuse"),
+                phong=(shading == "phong"))
+            scene = DiffScene(
+                density=jnp.full_like(gt.density, 0.3),
+                tf_base=gt.tf_base,
+                ray_step=gt.ray_step,
+            )
+            _, losses = fit(
+                scene, [(view, target)], steps=8, lr=0.05,
+                train_tf=False, fused=fused, shading=shading,
+            )
+            assert losses[-1] < losses[0], (shading, losses)
+
 
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):

@@ -233,7 +233,13 @@ def cmd_fit(args) -> int:
         c = Camera(dims=tuple(args.size))
         c.set_camera_position((ax, ay, 0.0))
         cams.append(c.view())
-    targets = [(v, render_diff_image(gt, v)) for v in cams]
+    shading = args.shading
+    targets = [
+        (v, render_diff_image(
+            gt, v, light_kd=(args.light_kd if shading else 0.0),
+            shaded=(shading == "diffuse"), phong=(shading == "phong")))
+        for v in cams
+    ]
     log.log_time("rendered %d target views", len(targets))
 
     # Constant init: zero density has a vanishing TF-lerp gradient.
@@ -258,6 +264,8 @@ def cmd_fit(args) -> int:
         grad_chunks=args.grad_chunks,
         mesh=mesh,
         volume_sharded=(args.dist == "volume"),
+        shading=args.shading,
+        light_kd=args.light_kd,
     )
     if losses:
         log.log_time("final loss %.6f", losses[-1])
@@ -349,6 +357,9 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("fit", help="inverse-rendering fit demo")
     _add_render_args(p)
+    # Fits are unshaded unless --shading is given explicitly (the render
+    # default of "diffuse" would silently change training targets).
+    p.set_defaults(shading=None)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=0.05)
     p.add_argument("--checkpoint", default=None,

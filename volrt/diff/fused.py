@@ -56,7 +56,8 @@ def _v3_fits(scene, view) -> bool:
 
 
 @partial(jax.jit,
-         static_argnames=("window", "blocked", "fast", "esl", "flush"))
+         static_argnames=("window", "blocked", "fast", "esl", "flush",
+                          "shaded"))
 def render_image_fused(
     scene: DiffScene,
     view,
@@ -66,6 +67,8 @@ def render_image_fused(
     fast: bool = False,
     esl: bool = False,
     flush: tuple[int, int] | None = None,
+    shaded: bool = False,
+    light_kd=0.6,
 ) -> jax.Array:
     """Differentiable render -> ``f32[H, W, 4]`` (fused Pallas fwd/bwd).
 
@@ -83,7 +86,12 @@ def render_image_fused(
 
         return render_image_v3(
             scene, view, ray_threshold=ray_threshold,
-            window=window, fast=fast, esl=esl, flush=flush)
+            window=window, fast=fast, esl=esl, flush=flush,
+            shaded=shaded, light_kd=(light_kd if shaded else 0.0))
+    if shaded:
+        raise NotImplementedError(
+            "shaded=True requires the v3 path (this view falls outside "
+            "its footprint envelope)")
     if esl:
         raise NotImplementedError(
             "esl=True requires the v3 path (this view falls outside its "
@@ -123,6 +131,8 @@ def render_image_fused(
 
 
 def l2_loss_fused(scene: DiffScene, view, target: jax.Array,
-                  fast: bool = False) -> jax.Array:
-    img = render_image_fused(scene, view, fast=fast)
+                  fast: bool = False, shaded: bool = False,
+                  light_kd=0.6) -> jax.Array:
+    img = render_image_fused(scene, view, fast=fast, shaded=shaded,
+                             light_kd=light_kd)
     return jnp.mean((img - target) ** 2)

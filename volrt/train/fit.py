@@ -106,13 +106,25 @@ def make_train_step(
                 state.scene, view, target)
         return apply_update(state, grads, loss)
 
-    if two_dispatch:
-        if loss_grads_fn is None:
+    if two_dispatch or (mesh is None and jax.default_backend() == "cpu"):
+        # Two-dispatch also guards every CPU train step: JAX 0.9's CPU
+        # executable lookup intermittently fails ("Execution supplied N
+        # buffers but compiled program expected M") when a second
+        # differently-parameterized outer-jit-of-grad-of-inner-jit is
+        # traced in one process (e.g. a shaded fit followed by an
+        # unshaded one). The eager outer dispatch sidesteps it; inner
+        # jits (the renderers) still compile, and TPU keeps the fully
+        # fused outer jit.
+        if two_dispatch and loss_grads_fn is None:
             raise ValueError("two_dispatch requires loss_grads_fn")
         jup = jax.jit(apply_update)
 
         def two_phase_step(state, view, target):
-            loss, grads = loss_grads_fn(state.scene, view, target)
+            if loss_grads_fn is not None:
+                loss, grads = loss_grads_fn(state.scene, view, target)
+            else:
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    state.scene, view, target)
             return jup(state, grads, loss)
 
         return two_phase_step
@@ -158,6 +170,8 @@ def fit(
     fused: bool = False,
     grad_chunks: int = 0,
     volume_sharded: bool = False,
+    shading: str | None = None,
+    light_kd: float = 0.6,
 ) -> tuple[DiffScene, list[float]]:
     """Fit the scene to targets; returns (scene, per-step losses).
 
@@ -182,6 +196,40 @@ def fit(
     loss_grads_fn = None
     constrain_target_rows = True
     two_dispatch = False
+    loss_fn = l2_loss_fused if fused else l2_loss
+    if shading:
+        # Shaded inverse rendering: diffuse (reference one-tap) on both
+        # paths; gradient Blinn-Phong on the XLA autodiff path only (the
+        # fused kernels' analytic backward covers the diffuse tap).
+        if volume_sharded:
+            raise NotImplementedError(
+                "shading is not supported in volume-sharded training")
+        if shading == "phong":
+            if fused:
+                raise NotImplementedError(
+                    "phong training uses the XLA autodiff path "
+                    "(fused=False); the fused analytic backward covers "
+                    "diffuse shading only")
+
+            def loss_fn(scene, view, target):
+                img = render_diff_image(
+                    scene, view, light_kd=light_kd, phong=True)
+                return jnp.mean((img - target) ** 2)
+        elif shading == "diffuse":
+            if fused:
+                from volrt.diff import fused as fused_mod
+
+                def loss_fn(scene, view, target):
+                    return fused_mod.l2_loss_fused(
+                        scene, view, target, fast=True, shaded=True,
+                        light_kd=light_kd)
+            else:
+                def loss_fn(scene, view, target):
+                    img = render_diff_image(
+                        scene, view, light_kd=light_kd, shaded=True)
+                    return jnp.mean((img - target) ** 2)
+        else:
+            raise ValueError(f"unknown shading mode: {shading!r}")
     if volume_sharded:
         if mesh is None:
             raise ValueError("volume_sharded=True requires a mesh")
@@ -200,6 +248,9 @@ def fit(
 
             return jax.value_and_grad(loss)(scene)
     elif fused and mesh is not None:
+        if shading:
+            raise NotImplementedError(
+                "shading is not supported in mesh-sharded fused training")
         # Fused kernels under a mesh: shard_map the v3 fwd/bwd over ray
         # tiles (XLA cannot auto-partition a custom kernel). The loss
         # shards its own tiles, so the step wrapper only pins the state
@@ -218,9 +269,11 @@ def fit(
 
         def loss_grads_fn(scene, view, target):
             return loss_grads_v3_chunked(
-                scene, view, target, grad_chunks, fast=True)
+                scene, view, target, grad_chunks, fast=True,
+                light_kd=(light_kd if shading == "diffuse" else 0.0),
+                shaded=(shading == "diffuse"))
     train_step = make_train_step(
-        optimizer, loss_fn=(l2_loss_fused if fused else l2_loss),
+        optimizer, loss_fn=loss_fn,
         train_density=train_density, train_tf=train_tf, mesh=mesh,
         loss_grads_fn=loss_grads_fn,
         constrain_target_rows=constrain_target_rows,
