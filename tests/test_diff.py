@@ -167,7 +167,8 @@ class TestFit:
         kernels' analytic shaded backward, phong through XLA autodiff."""
         gt = tiny_scene()
         view = tiny_view()
-        for shading, fused in (("diffuse", True), ("phong", False)):
+        for shading, fused in (("diffuse", True), ("phong", False),
+                               ("phong", True)):
             target = render_diff_image(
                 gt, view, light_kd=0.6,
                 shaded=(shading == "diffuse"),

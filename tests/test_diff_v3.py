@@ -219,6 +219,68 @@ class TestV3ShadedDiff:
             np.asarray(g_ref.tf_base), np.asarray(g_v3.tf_base), atol=5e-6)
 
 
+class TestV3PhongDiff:
+    """Fused gradient-Blinn-Phong backward vs XLA autodiff (the diff
+    path's phong mode is the oracle): six central-difference tap
+    scatters + the normalize/ndl/ndh^16 cotangent chain."""
+
+    def _check(self, view, thr=2.0, sv_limit=None, atol=1e-6):
+        import os
+
+        scene, _ = setup()
+        tgt = jnp.zeros(view.dims[::-1] + (4,), jnp.float32)
+        kd = 0.6
+
+        def loss_ref(s):
+            img = render_diff_image(
+                s, view, ray_threshold=thr, light_kd=kd, phong=True)
+            return jnp.mean((img - tgt) ** 2)
+
+        def loss_v3(s):
+            img = render_image_v3(
+                s, view, ray_threshold=thr, light_kd=kd, phong=True)
+            return jnp.mean((img - tgt) ** 2)
+
+        old = os.environ.get("VOLRT_SV_LIMIT_MB")
+        if sv_limit is not None:
+            os.environ["VOLRT_SV_LIMIT_MB"] = str(sv_limit)
+            jax.clear_caches()
+        try:
+            a = render_diff_image(
+                scene, view, ray_threshold=thr, light_kd=kd, phong=True)
+            b = render_image_v3(
+                scene, view, ray_threshold=thr, light_kd=kd, phong=True)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4)
+            g0 = jax.grad(loss_ref)(scene)
+            g1 = jax.grad(loss_v3)(scene)
+            np.testing.assert_allclose(
+                np.asarray(g0.density), np.asarray(g1.density), atol=atol)
+            np.testing.assert_allclose(
+                np.asarray(g0.tf_base), np.asarray(g1.tf_base), atol=atol)
+        finally:
+            if sv_limit is not None:
+                if old is None:
+                    os.environ.pop("VOLRT_SV_LIMIT_MB", None)
+                else:
+                    os.environ["VOLRT_SV_LIMIT_MB"] = old
+                jax.clear_caches()
+
+    def test_streamed_backward(self):
+        scene, view = setup()
+        self._check(view)
+
+    def test_ert(self):
+        scene, view = setup()
+        self._check(view, thr=0.95)
+
+    def test_replay_backward(self):
+        """sv budget 0 forces the no-stream path: the backward replays
+        the forward's gradient taps against the bricks."""
+        scene, view = setup()
+        self._check(view, sv_limit=0)
+
+
 class TestPlanSessions:
     """Static invariants of the plan-time flush-session schedule.
 

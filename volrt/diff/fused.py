@@ -57,7 +57,7 @@ def _v3_fits(scene, view) -> bool:
 
 @partial(jax.jit,
          static_argnames=("window", "blocked", "fast", "esl", "flush",
-                          "shaded"))
+                          "shaded", "phong"))
 def render_image_fused(
     scene: DiffScene,
     view,
@@ -69,6 +69,7 @@ def render_image_fused(
     flush: tuple[int, int] | None = None,
     shaded: bool = False,
     light_kd=0.6,
+    phong: bool = False,
 ) -> jax.Array:
     """Differentiable render -> ``f32[H, W, 4]`` (fused Pallas fwd/bwd).
 
@@ -87,10 +88,11 @@ def render_image_fused(
         return render_image_v3(
             scene, view, ray_threshold=ray_threshold,
             window=window, fast=fast, esl=esl, flush=flush,
-            shaded=shaded, light_kd=(light_kd if shaded else 0.0))
-    if shaded:
+            shaded=shaded, phong=phong,
+            light_kd=(light_kd if (shaded or phong) else 0.0))
+    if shaded or phong:
         raise NotImplementedError(
-            "shaded=True requires the v3 path (this view falls outside "
+            "shading requires the v3 path (this view falls outside "
             "its footprint envelope)")
     if esl:
         raise NotImplementedError(
@@ -132,7 +134,7 @@ def render_image_fused(
 
 def l2_loss_fused(scene: DiffScene, view, target: jax.Array,
                   fast: bool = False, shaded: bool = False,
-                  light_kd=0.6) -> jax.Array:
+                  light_kd=0.6, phong: bool = False) -> jax.Array:
     img = render_image_fused(scene, view, fast=fast, shaded=shaded,
-                             light_kd=light_kd)
+                             light_kd=light_kd, phong=phong)
     return jnp.mean((img - target) ** 2)

@@ -747,15 +747,20 @@ def _fwd_kernel(
     dims, ray_step, wz, wy, wx, n_phases, fast, shade=False,
     slab=False, phong=False, save_sv=False,
 ):
-    # rest = [sv_ref[, sv2_ref]] (save_sv outputs), brick scratch, sem.
+    # rest = [sv_ref[, sv2_ref][, gx, gy, gz]] (save_sv outputs), brick
+    # scratch, sem.
     i = 0
     sv_ref = sv2_ref = None
+    svg_refs = None
     if save_sv:
         sv_ref = rest[i]
         i += 1
         if shade:
             sv2_ref = rest[i]
             i += 1
+        if phong:
+            svg_refs = rest[i:i + 3]
+            i += 3
     brick_ref, sem = rest[i], rest[i + 1]
     del tfl_ref  # forward uses the lane-major LUT
     dtype = v0_ref.dtype
@@ -872,6 +877,16 @@ def _fwd_kernel(
             # reads them instead of replaying the gather matmuls (and
             # needs no brick DMA at all) — bit-identical in every mode.
             sv_ref[0, pl.ds(B * G, G), :] = sv8
+            if phong:
+                # Phong backward additionally needs the raw density
+                # gradient (the six ±1-voxel taps collapse to these
+                # three per-sample components).
+                svg_refs[0][0, pl.ds(B * G, G), :] = jnp.concatenate(
+                    [gr_[0] for gr_ in grads], axis=0)
+                svg_refs[1][0, pl.ds(B * G, G), :] = jnp.concatenate(
+                    [gr_[1] for gr_ in grads], axis=0)
+                svg_refs[2][0, pl.ds(B * G, G), :] = jnp.concatenate(
+                    [gr_[2] for gr_ in grads], axis=0)
         if "tf" in _FWD_ABLATE:
             cr8 = cg8 = cb8 = ca8 = sv8 * 0.01
         else:
@@ -1006,18 +1021,23 @@ def _bwd_kernel(
     *rest,
     dims, ray_step, wz, wy, wx, n_phases, fast, shade=False,
     flush_shape=None, have_sv=False, brick_shape=None, slab=False,
+    phong=False,
 ):
-    # rest = [sv_in(, sv2_in)] (have_sv inputs), sorg, dv0..dv3,
-    # dtf[, dacc0] outputs, [brick scratch, sem] (replay mode only),
-    # acc, rmw (2-slot), sem_r, sem_w, dtfacc.
+    # rest = [sv_in(, sv2_in)(, gx, gy, gz)] (have_sv inputs), sorg,
+    # dv0..dv3, dtf[, dacc0] outputs, [brick scratch, sem] (replay mode
+    # only), acc, rmw (2-slot), sem_r, sem_w, dtfacc.
+    assert not (phong and (shade or slab))
     i = 0
-    sv_in_ref = sv2_in_ref = None
+    sv_in_ref = sv2_in_ref = svg_in_refs = None
     if have_sv:
         sv_in_ref = rest[i]
         i += 1
         if shade:
             sv2_in_ref = rest[i]
             i += 1
+        if phong:
+            svg_in_refs = rest[i:i + 3]
+            i += 3
     sorg_ref = rest[i]
     i += 1
     dv0_ref, dv1_ref, dv2_ref, dv3_ref, dtf_ref = rest[i:i + 5]
@@ -1216,12 +1236,18 @@ def _bwd_kernel(
         # replay the gather matmuls against the brick.
         if shade:
             tx2, ty2, tz2 = _light_coords(pw, scal_ref, dims)
+        w_, h_, d_ = dims
         if have_sv:
             sv8 = sv_in_ref[0, pl.ds(B * G, G), :]
             if shade:
                 sv8_2_saved = sv2_in_ref[0, pl.ds(B * G, G), :]
+            if phong:
+                gx8 = svg_in_refs[0][0, pl.ds(B * G, G), :]
+                gy8 = svg_in_refs[1][0, pl.ds(B * G, G), :]
+                gz8 = svg_in_refs[2][0, pl.ds(B * G, G), :]
         else:
             svals, svals2 = [], []
+            gxs, gys, gzs = [], [], []
             for g in range(G):
                 z0g, y0g = _band_scalars(
                     org_ref, B, g, bzo, byo, bz, by, wz, wy)
@@ -1232,16 +1258,63 @@ def _bwd_kernel(
                 if "pass1" in abl:
                     sval = tz[g:g + 1] * 1e-8
                 else:
-                    sval, _, _ = _band_sample(
+                    sval, _, aux = _band_sample(
                         bview, (zrow, yrow, xrow), tx, ty, tz, z0g, y0g,
                         xo, g, wz, wy, wx, dtype, prec)
                 svals.append(sval)
+                if phong and "pass1" not in abl:
+                    # Replay the forward's gradient taps (fwd kernel
+                    # phong block) for the 512^3-scale no-stream path.
+                    _, xw_c, _, xrows = aux
+                    lz = tz[g:g + 1] - z0g.astype(jnp.float32)
+                    ly = ty[g:g + 1] - y0g.astype(jnp.float32)
+                    txg = tx[g:g + 1]
+                    lxp = jnp.clip(txg + 1.0, 0.0, w_ - 1.0) - xo
+                    lxm = jnp.clip(txg - 1.0, 0.0, w_ - 1.0) - xo
+                    xw_d = (jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lxp))
+                            - jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lxm)))
+                    gxs.append(jnp.sum(xrows * xw_d, axis=0,
+                                       keepdims=True))
+                    tyg = ty[g:g + 1]
+                    lyp = jnp.clip(tyg + 1.0, 0.0, h_ - 1.0) \
+                        - y0g.astype(jnp.float32)
+                    lym = jnp.clip(tyg - 1.0, 0.0, h_ - 1.0) \
+                        - y0g.astype(jnp.float32)
+                    yw_d = (jnp.maximum(0.0, 1.0 - jnp.abs(yrow - lyp))
+                            - jnp.maximum(0.0, 1.0 - jnp.abs(yrow - lym)))
+                    wzw = jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lz))
+                    wmat_dy = _expand_taps(wzw, yw_d, wz, wy, dtype)
+                    gys.append(jnp.sum(jax.lax.dot_general(
+                        bview, wmat_dy, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec) * xw_c, axis=0, keepdims=True))
+                    tzg = tz[g:g + 1]
+                    lzp = jnp.clip(tzg + 1.0, 0.0, d_ - 1.0) \
+                        - z0g.astype(jnp.float32)
+                    lzm = jnp.clip(tzg - 1.0, 0.0, d_ - 1.0) \
+                        - z0g.astype(jnp.float32)
+                    zw_d = (jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lzp))
+                            - jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lzm)))
+                    wyw = jnp.maximum(0.0, 1.0 - jnp.abs(yrow - ly))
+                    wmat_dz = _expand_taps(zw_d, wyw, wz, wy, dtype)
+                    gzs.append(jnp.sum(jax.lax.dot_general(
+                        bview, wmat_dz, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec) * xw_c, axis=0, keepdims=True))
+                elif phong:
+                    gxs.append(sval * 0.0)
+                    gys.append(sval * 0.0)
+                    gzs.append(sval * 0.0)
                 if shade:
                     sval2, _, _ = _band_sample(
                         bview, (zrow, yrow, xrow), tx2, ty2, tz2, z0g,
                         y0g, xo, g, wz, wy, wx, dtype, prec)
                     svals2.append(sval2)
             sv8 = jnp.concatenate(svals, axis=0)
+            if phong:
+                gx8 = jnp.concatenate(gxs, axis=0)
+                gy8 = jnp.concatenate(gys, axis=0)
+                gz8 = jnp.concatenate(gzs, axis=0)
         (cr8, cg8, cb8, ca8), (tt8, lo8, rng8) = _tf_gather(
             sv8, None, lutl)
         # Batched slope gathers (replaces a per-band d(one-hot) matmul).
@@ -1280,6 +1353,51 @@ def _bwd_kernel(
             cr = cr + dsh
             cg = cg + dsh
             cb = cb + dsh
+        if phong:
+            # Recreate the forward's per-band Blinn-Phong terms (fwd
+            # kernel phong block) batched over the group: normal from
+            # the raw gradient, diffuse/specular factors, gate.
+            from volrt.constants import (
+                PHONG_KA, PHONG_KS, PHONG_SHININESS)
+            assert PHONG_SHININESS == 16.0
+            kd_p = scal_ref[0, 1]
+            px_, py_, pz_ = pw
+            gxr = gx8[:, :R]
+            gyr = gy8[:, :R]
+            gzr = gz8[:, :R]
+            ginv = jax.lax.rsqrt(
+                gxr * gxr + gyr * gyr + gzr * gzr + 1e-16)
+            nx, ny, nz = -gxr * ginv, -gyr * ginv, -gzr * ginv
+            lx_ = scal_ref[0, 2] - px_[:, :R]
+            ly_ = scal_ref[0, 3] - py_[:, :R]
+            lz_ = scal_ref[0, 4] - pz_[:, :R]
+            linv = jax.lax.rsqrt(
+                lx_ * lx_ + ly_ * ly_ + lz_ * lz_ + 1e-20)
+            lxn, lyn, lzn = lx_ * linv, ly_ * linv, lz_ * linv
+            dxr, dyr, dzr = rays[3:4], rays[4:5], rays[5:6]
+            vinv = jax.lax.rsqrt(
+                dxr * dxr + dyr * dyr + dzr * dzr + 1e-20)
+            vx, vy, vz = -dxr * vinv, -dyr * vinv, -dzr * vinv
+            hx, hy, hz = lxn + vx, lyn + vy, lzn + vz
+            hinv = jax.lax.rsqrt(
+                hx * hx + hy * hy + hz * hz + 1e-20)
+            p_dl = nx * lxn + ny * lyn + nz * lzn
+            ndl = jnp.maximum(p_dl, 0.0)
+            q_dh = nx * hx + ny * hy + nz * hz
+            ndh = jnp.maximum(q_dh * hinv, 0.0)
+            s2 = ndh * ndh
+            s4 = s2 * s2
+            s8 = s4 * s4
+            s16 = s8 * s8
+            lit = PHONG_KA + kd_p * ndl
+            gate_p = ((ca > SHADE_ALPHA_GATE)
+                      & (kd_p > SHADE_KD_GATE)).astype(jnp.float32)
+            scale_p = (1.0 - gate_p) + gate_p * lit
+            spec = PHONG_KS * s16 * ca
+            cr0, cg0, cb0 = cr, cg, cb
+            cr = cr * scale_p + gate_p * spec
+            cg = cg * scale_p + gate_p * spec
+            cb = cb * scale_p + gate_p * spec
         f, m, acca, fin = _group_weights(ca, m_ana, acca, fin, thr)
         contrib = (gr * cr + ggn * cg + gb * cb + ga * ca) * f
         P_in = P + _excl_cumsum(contrib)
@@ -1289,6 +1407,31 @@ def _bwd_kernel(
         dcr8, dcg8, dcb8 = gr * f, ggn * f, gb * f
         dca8 = ga * f - jnp.where(
             denom > 1e-6, S_next / jnp.maximum(denom, 1e-6), 0.0) * m
+        if phong:
+            # Cotangent chain through the Blinn-Phong transform.
+            # dcr8.. are dL/d(shaded rgb); the TF's base colors see the
+            # lit scale, alpha additionally feeds the specular term, and
+            # the normal chain scatters into the six gradient taps.
+            drgb8 = dcr8 + dcg8 + dcb8                    # (G, R)
+            dlit = gate_p * (cr0 * dcr8 + cg0 * dcg8 + cb0 * dcb8)
+            dndl = kd_p * dlit
+            dndh = (gate_p * PHONG_KS * 16.0 * (s8 * s4 * s2 * ndh)
+                    * ca * drgb8)
+            dca8 = dca8 + gate_p * PHONG_KS * s16 * drgb8
+            dcr8 = dcr8 * scale_p
+            dcg8 = dcg8 * scale_p
+            dcb8 = dcb8 * scale_p
+            m_l = (p_dl > 0.0).astype(jnp.float32)
+            m_h = (q_dh * hinv > 0.0).astype(jnp.float32)
+            dnx = dndl * m_l * lxn + dndh * m_h * hinv * hx
+            dny = dndl * m_l * lyn + dndh * m_h * hinv * hy
+            dnz = dndl * m_l * lzn + dndh * m_h * hinv * hz
+            # n = -g * ginv: dg = -ginv*dn + ginv^3*(dn.g)*g
+            dng = dnx * gxr + dny * gyr + dnz * gzr
+            g3 = ginv * ginv * ginv
+            dgx8 = -ginv * dnx + g3 * dng * gxr
+            dgy8 = -ginv * dny + g3 * dng * gyr
+            dgz8 = -ginv * dnz + g3 * dng * gzr
         dsval8 = (
             slopes[0][:, :R] * dcr8
             + slopes[1][:, :R] * dcg8
@@ -1341,6 +1484,15 @@ def _bwd_kernel(
                 wmat = _expand_taps(wzw, wyw, wz, wy, jnp.float32)
             xw = jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lx))
             Dx = dsval * xw                          # (wx, R)
+            if phong:
+                # gx's x-difference weights share the base (z, y) tap
+                # matrix, so that scatter folds into the same matmul.
+                txg = tx[g:g + 1]
+                lxp = jnp.clip(txg + 1.0, 0.0, w_ - 1.0) - xo
+                lxm = jnp.clip(txg - 1.0, 0.0, w_ - 1.0) - xo
+                xw_d = (jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lxp))
+                        - jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lxm)))
+                Dx = Dx + dgx8[g:g + 1] * xw_d
             if "dbrick" in abl:
                 dbrick = (jnp.zeros((wz * wy, wx), jnp.float32)
                           + wmat[:, 0:1] + jnp.sum(Dx) * 1e-30)
@@ -1349,6 +1501,36 @@ def _bwd_kernel(
                     wmat, Dx, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=prec)                  # (wz*wy, wx)
+            if phong:
+                # gy / gz scatters: the shifted-hat difference matrices
+                # of the forward's central-difference taps, transposed.
+                tyg = ty[g:g + 1]
+                lyp = jnp.clip(tyg + 1.0, 0.0, h_ - 1.0) \
+                    - y0g.astype(jnp.float32)
+                lym = jnp.clip(tyg - 1.0, 0.0, h_ - 1.0) \
+                    - y0g.astype(jnp.float32)
+                yw_d = (jnp.maximum(0.0, 1.0 - jnp.abs(yrow - lyp))
+                        - jnp.maximum(0.0, 1.0 - jnp.abs(yrow - lym)))
+                wzw_p = jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lz))
+                wmat_dy = _expand_taps(wzw_p, yw_d, wz, wy, jnp.float32)
+                tzg = tz[g:g + 1]
+                lzp = jnp.clip(tzg + 1.0, 0.0, d_ - 1.0) \
+                    - z0g.astype(jnp.float32)
+                lzm = jnp.clip(tzg - 1.0, 0.0, d_ - 1.0) \
+                    - z0g.astype(jnp.float32)
+                zw_d = (jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lzp))
+                        - jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lzm)))
+                wyw_p = jnp.maximum(0.0, 1.0 - jnp.abs(yrow - ly))
+                wmat_dz = _expand_taps(zw_d, wyw_p, wz, wy, jnp.float32)
+                dbrick = dbrick + jax.lax.dot_general(
+                    wmat_dy, dgy8[g:g + 1] * xw,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec) + jax.lax.dot_general(
+                    wmat_dz, dgz8[g:g + 1] * xw,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec)
             if shade:
                 # Second scatter: the light tap's footprint.
                 lz2 = tz2[g:g + 1] - z0g.astype(jnp.float32)
@@ -1465,7 +1647,7 @@ def _pallas_fwd(scal, org, rays_t, vols, tfl, *, dims, ray_step,
     out_specs = [pl.BlockSpec((1, 8, R), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((t, 8, R), jnp.float32)]
-    n_sv = (1 + int(shade)) if save_sv else 0
+    n_sv = (1 + int(shade) + 3 * int(phong)) if save_sv else 0
     for _ in range(n_sv):
         out_specs.append(pl.BlockSpec(
             (1, ngr * G, R), lambda i: (i, 0, 0),
@@ -1501,7 +1683,7 @@ def _pallas_fwd(scal, org, rays_t, vols, tfl, *, dims, ray_step,
 
 def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
                 window, fast, shade=False, flush=None, sv=None,
-                sv2=None, slab=False):
+                sv2=None, sv_g=None, slab=False, phong=False):
     t = rays_t.shape[0]
     ngr = org.shape[1]
     wz, wy, wx = window
@@ -1519,7 +1701,7 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
     kernel = functools.partial(
         _bwd_kernel, dims=dims, ray_step=ray_step, wz=wz, wy=wy, wx=wx,
         n_phases=n_phases, fast=fast, shade=shade, have_sv=have_sv,
-        brick_shape=(bz, by), slab=slab)
+        brick_shape=(bz, by), slab=slab, phong=phong)
     vshape = v4[0].shape
     # Unused phase slots get token-sized buffers (the kernel touches only
     # dv_refs[:n_phases]) — at 512^3 full-size zeros here waste ~1.2 GB.
@@ -1527,6 +1709,8 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
                  for p in range(4)]
     dv_inits = [jnp.zeros(s, jnp.float32) for s in dv_shapes]
     sv_ins = [x for x in (sv, sv2) if x is not None]
+    if sv_g is not None:
+        sv_ins += list(sv_g)
     in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, ngr, ORG_C), lambda i: (i, 0, 0),
@@ -1608,10 +1792,10 @@ def _pack_gG(g, out):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def render_tiles_v3(scal, org, rays_t, vols, tfl,
                     dims, ray_step, window, fast=False, shade=False,
-                    flush=None, slab=False):
+                    flush=None, slab=False, phong=False):
     """Differentiable v3 tile render.
 
     Inputs: ``rays_t (T, C, R)`` lane-major ray tiles, ``org`` planned
@@ -1631,7 +1815,7 @@ def render_tiles_v3(scal, org, rays_t, vols, tfl,
     return _pallas_fwd(
         scal, org, rays_t, vols, tfl,
         dims=dims, ray_step=ray_step, window=window, fast=fast,
-        shade=shade, slab=slab)
+        shade=shade, slab=slab, phong=phong)
 
 
 def _sv_limit_bytes() -> int:
@@ -1641,29 +1825,37 @@ def _sv_limit_bytes() -> int:
     return int(os.environ.get("VOLRT_SV_LIMIT_MB", "4096")) * (1 << 20)
 
 
-def _use_sv(t, ngr, shade) -> bool:
-    return t * ngr * G * R * 4 * (1 + int(shade)) <= _sv_limit_bytes()
+def _use_sv(t, ngr, shade, phong=False) -> bool:
+    n = 1 + int(shade) + 3 * int(phong)
+    return t * ngr * G * R * 4 * n <= _sv_limit_bytes()
 
 
 def _fwd_rule(scal, org, rays_t, vols, tfl, dims, ray_step, window,
-              fast=False, shade=False, flush=None, slab=False):
-    save_sv = _use_sv(rays_t.shape[0], org.shape[1], shade)
+              fast=False, shade=False, flush=None, slab=False,
+              phong=False):
+    if phong and (shade or slab):
+        raise NotImplementedError(
+            "phong composes with neither the diffuse tap nor slab mode")
+    save_sv = _use_sv(rays_t.shape[0], org.shape[1], shade, phong)
     outs = _pallas_fwd(
         scal, org, rays_t, vols, tfl,
         dims=dims, ray_step=ray_step, window=window, fast=fast,
-        shade=shade, slab=slab, save_sv=save_sv)
+        shade=shade, slab=slab, phong=phong, save_sv=save_sv)
     out, svs = (outs[0], tuple(outs[1:])) if save_sv else (outs, ())
     return out, (scal, org, rays_t, vols, tfl, out, svs)
 
 
-def _bwd_rule(dims, ray_step, window, fast, shade, flush, slab, res, g):
+def _bwd_rule(dims, ray_step, window, fast, shade, flush, slab, phong,
+              res, g):
     scal, org, rays_t, vols, tfl, out, svs = res
     dvs, dtf, dacc = _pallas_bwd(
         scal, org, rays_t, vols, tfl, _pack_gG(g, out),
         dims=dims, ray_step=ray_step, window=window, fast=fast,
         shade=shade, flush=flush,
         sv=svs[0] if svs else None,
-        sv2=svs[1] if len(svs) > 1 else None, slab=slab)
+        sv2=svs[1] if (shade and len(svs) > 1) else None,
+        sv_g=(svs[1:4] if (phong and len(svs) > 3) else None),
+        slab=slab, phong=phong)
     drays = jnp.zeros_like(rays_t)
     if slab:
         drays = drays.at[:, CH_ACC0, :].set(dacc[:, 0, :])
@@ -1714,21 +1906,24 @@ def _phase_volumes(density, wx, storage=None):
 
 def render_image_v3(scene, view, ray_threshold=0.95,
                     window=None, fast=False, esl=False,
-                    light_kd=0.0, shaded=False, flush=None):
+                    light_kd=0.0, shaded=False, flush=None,
+                    phong=False):
     """Differentiable render -> ``f32[H, W, 4]`` via the v3 kernels.
 
-    Semantics match diff.render.render_diff_image (including ``esl`` and
-    the ``shaded`` diffuse light tap); gradients flow to
-    ``scene.density`` and ``scene.tf_base``.
+    Semantics match diff.render.render_diff_image (including ``esl``,
+    the ``shaded`` diffuse light tap, and gradient Blinn-Phong via
+    ``phong=True``); gradients flow to ``scene.density`` and
+    ``scene.tf_base``.
     """
     return render_image_v3_with_ovf(
         scene, view, ray_threshold, window, fast, esl,
-        light_kd, shaded, flush)[0]
+        light_kd, shaded, flush, phong)[0]
 
 
 def render_image_v3_with_ovf(scene, view, ray_threshold=0.95,
                              window=None, fast=False, esl=False,
-                             light_kd=0.0, shaded=False, flush=None):
+                             light_kd=0.0, shaded=False, flush=None,
+                             phong=False):
     """As render_image_v3 but also returns the total overflow count."""
     d, h, w = scene.density.shape
     dims = (w, h, d)
@@ -1747,12 +1942,14 @@ def render_image_v3_with_ovf(scene, view, ray_threshold=0.95,
     return render_view_v3(
         scene.density, premult, scene.ray_step, view,
         ray_threshold=ray_threshold, window=window, fast=fast,
-        esl_fn=esl_fn, light_kd=light_kd, shaded=shaded, flush=flush)
+        esl_fn=esl_fn, light_kd=light_kd, shaded=shaded, flush=flush,
+        phong=phong)
 
 
 def loss_grads_v3_chunked(scene, view, target, n_chunks,
                           ray_threshold=0.95, window=None, fast=False,
-                          flush=None, light_kd=0.0, shaded=False):
+                          flush=None, light_kd=0.0, shaded=False,
+                          phong=False):
     """Full-image MSE loss + scene gradients, accumulated over ray-tile
     chunks -> ``(loss, grads)`` (grads a DiffScene-shaped pytree).
 
@@ -1771,8 +1968,8 @@ def loss_grads_v3_chunked(scene, view, target, n_chunks,
     wv, hv = view.dims
     if window is None:
         window = default_window(dims, view.dims, view.perspective)
-        if shaded:
-            off = int(0.01 * 0.5 * max(dims)) + 2
+        if shaded or phong:
+            off = (int(0.01 * 0.5 * max(dims)) + 2) if shaded else 2
             window = (
                 min(window[0] + off, -(-dims[2] // 8) * 8),
                 min(-(-(window[1] + off) // 8) * 8,
@@ -1817,7 +2014,7 @@ def loss_grads_v3_chunked(scene, view, target, n_chunks,
             lp, jnp.zeros(3, jnp.float32)]).reshape(1, 8)
         out = render_tiles_v3(
             scal, org, rays_t, vols, tfl, dims, sc.ray_step, window,
-            fast, bool(shaded), fl)
+            fast, bool(shaded), fl, False, bool(phong))
         tgt_c = jax.lax.dynamic_slice_in_dim(tgt_t, t0, tc, 0)
         diff = out[:, :4, :] - jnp.swapaxes(tgt_c, 1, 2)
         return jnp.sum(diff * diff) / denom
@@ -1836,7 +2033,7 @@ def loss_grads_v3_chunked(scene, view, target, n_chunks,
 def render_view_v3(density, premult_tf, ray_step, view,
                    ray_threshold=0.95, window=None, fast=False,
                    esl_fn=None, light_kd=0.0, shaded=False,
-                   phong=False, flush=None):
+                   phong=False, flush=None, _vjp=True):
     """Premult-level v3 render -> (f32[H, W, 4], overflow count).
 
     ``density`` is the float grid (D, H, W); ``premult_tf`` the
@@ -1880,17 +2077,20 @@ def render_view_v3(density, premult_tf, ray_step, view,
         bz, by, wx=window[2], view_dims=view.dims)
     tfl = jnp.pad(premult_tf, ((0, 0), (0, 4)))
 
-    if phong:
-        # Gradient Blinn-Phong is a forward-rung feature (no analytic
-        # backward); bypass the custom_vjp wrapper.
-        out = _pallas_fwd(
-            scal, org, rays_t, vols, tfl, dims=dims, ray_step=ray_step,
-            window=window, fast=fast, shade=bool(shaded), phong=True)
-    else:
+    if _vjp:
         out = render_tiles_v3(
             scal, org, rays_t, vols, tfl, dims, ray_step,
-            window, fast, bool(shaded),
-            None if flush is None else tuple(flush))
+            window, fast, bool(shaded) and not phong,
+            None if flush is None else tuple(flush), False, bool(phong))
+    else:
+        # Forward-only rung path (renderer id 5): skip the custom_vjp
+        # wrapper entirely. Identical primal; avoids tracing the vjp'd
+        # callable under the rung's outer jit with multiple static
+        # configurations (JAX 0.9 CPU executable-lookup bug).
+        out = _pallas_fwd(
+            scal, org, rays_t, vols, tfl, dims=dims, ray_step=ray_step,
+            window=window, fast=fast,
+            shade=bool(shaded) and not phong, phong=bool(phong))
     colors = jnp.swapaxes(out[:, :4, :], 1, 2)    # (T, R, 4)
     img = layout.untile_rays(colors, wv, hv, tile_w=TILE, tile_h=TILE)
     return img, jnp.sum(out[:, 4, :])

@@ -53,7 +53,8 @@ def render_float(
         density, rc.transfer_fn.astype(jnp.float32), rc.ray_step,
         rc.view, ray_threshold=rc.ray_threshold, window=window,
         fast=fast, esl_fn=esl_fn,
-        light_kd=rc.light_kd, phong=(rc.shading == "phong"))
+        light_kd=rc.light_kd, phong=(rc.shading == "phong"),
+        _vjp=False)
     return img, ovf
 
 

@@ -206,15 +206,17 @@ def fit(
                 "shading is not supported in volume-sharded training")
         if shading == "phong":
             if fused:
-                raise NotImplementedError(
-                    "phong training uses the XLA autodiff path "
-                    "(fused=False); the fused analytic backward covers "
-                    "diffuse shading only")
+                from volrt.diff import fused as fused_mod
 
-            def loss_fn(scene, view, target):
-                img = render_diff_image(
-                    scene, view, light_kd=light_kd, phong=True)
-                return jnp.mean((img - target) ** 2)
+                def loss_fn(scene, view, target):
+                    return fused_mod.l2_loss_fused(
+                        scene, view, target, fast=True, phong=True,
+                        light_kd=light_kd)
+            else:
+                def loss_fn(scene, view, target):
+                    img = render_diff_image(
+                        scene, view, light_kd=light_kd, phong=True)
+                    return jnp.mean((img - target) ** 2)
         elif shading == "diffuse":
             if fused:
                 from volrt.diff import fused as fused_mod
@@ -270,8 +272,9 @@ def fit(
         def loss_grads_fn(scene, view, target):
             return loss_grads_v3_chunked(
                 scene, view, target, grad_chunks, fast=True,
-                light_kd=(light_kd if shading == "diffuse" else 0.0),
-                shaded=(shading == "diffuse"))
+                light_kd=(light_kd if shading else 0.0),
+                shaded=(shading == "diffuse"),
+                phong=(shading == "phong"))
     train_step = make_train_step(
         optimizer, loss_fn=loss_fn,
         train_density=train_density, train_tf=train_tf, mesh=mesh,
