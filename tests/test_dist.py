@@ -286,6 +286,39 @@ class TestShardedFusedTraining:
             np.asarray(g_sh.tf_base), np.asarray(g_ref.tf_base),
             atol=1e-6)
 
+    def test_fused_shaded_loss_grads_match_single_device(self):
+        """Mesh-sharded fused training with shading (diffuse AND phong)
+        equals the single-device fused path."""
+        from volrt.diff.fused import l2_loss_fused
+        from volrt.dist.render import l2_loss_grads_v3_sharded
+
+        scene = scene_from_volume(
+            jnp.asarray(synthetic_volume(16)), default_transfer_fn(), 0.12
+        )
+        cam = Camera(dims=(32, 32))
+        cam.set_camera_position((30.0, 20.0, 0.0))
+        view = cam.view()
+        target = jnp.zeros((32, 32, 4), jnp.float32)
+        mesh = make_mesh()
+        for shading in ("diffuse", "phong"):
+            def loss_single(s, shading=shading):
+                return l2_loss_fused(
+                    s, view, target, fast=False,
+                    shaded=(shading == "diffuse"),
+                    phong=(shading == "phong"))
+
+            l_ref, g_ref = jax.value_and_grad(loss_single)(scene)
+            l_sh, g_sh = l2_loss_grads_v3_sharded(
+                scene, view, target, mesh, fast=False, shading=shading)
+            np.testing.assert_allclose(
+                float(l_sh), float(l_ref), rtol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(g_sh.density), np.asarray(g_ref.density),
+                atol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(g_sh.tf_base), np.asarray(g_ref.tf_base),
+                atol=1e-6)
+
     def test_fit_volume_sharded_trains(self):
         """End-to-end Z-slab-sharded training: loss decreases with the
         volume split across the mesh and marched by the v3 kernels."""

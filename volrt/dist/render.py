@@ -90,7 +90,8 @@ def render_sharded(rc: Raycaster, mesh: Mesh, **kw) -> jax.Array:
 
 def l2_loss_grads_v3_sharded(scene, view, target, mesh,
                              ray_threshold=0.95, fast=True,
-                             window=None, flush=None):
+                             window=None, flush=None,
+                             shading=None, light_kd=0.6):
     """MSE loss + scene gradients with ray tiles shard_map'ed over
     ``mesh`` through the v3 fused differentiable kernels.
 
@@ -108,8 +109,19 @@ def l2_loss_grads_v3_sharded(scene, view, target, mesh,
     d, h, w = scene.density.shape
     dims = (w, h, d)
     wv, hv = view.dims
+    shaded = shading == "diffuse"
+    phong = shading == "phong"
     if window is None:
         window = default_window(dims, view.dims, view.perspective)
+        if shaded or phong:
+            # Light-tap / gradient-tap footprint widening (matches
+            # diff_v3.render_view_v3's shaded default).
+            off = (int(0.01 * 0.5 * max(dims)) + 2) if shaded else 2
+            window = (
+                min(window[0] + off, -(-dims[2] // 8) * 8),
+                min(-(-(window[1] + off) // 8) * 8,
+                    -(-dims[1] // 8) * 8),
+                window[2])
     window = _norm_window(window)
     wp, hp = layout.pad_dims(wv, hv, TILE, TILE)
     tgt = jnp.asarray(target, jnp.float32)
@@ -135,7 +147,9 @@ def l2_loss_grads_v3_sharded(scene, view, target, mesh,
         lp = view.light_pos.astype(jnp.float32).reshape(3)
         scal = jnp.concatenate([
             jnp.asarray(ray_threshold, jnp.float32).reshape(1),
-            jnp.zeros(1, jnp.float32),
+            jnp.asarray(
+                light_kd if (shaded or phong) else 0.0,
+                jnp.float32).reshape(1),
             lp, jnp.zeros(3, jnp.float32)]).reshape(1, 8)
 
         # Window planning is pure XLA — partitioned automatically outside
@@ -148,7 +162,7 @@ def l2_loss_grads_v3_sharded(scene, view, target, mesh,
         def shard_fn(scal, org_l, rays_l, tgt_l, tfl, *vols):
             out = render_tiles_v3(
                 scal, org_l, rays_l, tuple(vols), tfl, dims,
-                sc.ray_step, window, fast, False, fl)
+                sc.ray_step, window, fast, shaded, fl, False, phong)
             diff = out[:, :4, :] - jnp.swapaxes(tgt_l, 1, 2)
             return jax.lax.psum(jnp.sum(diff * diff), RAY_AXIS)
 

@@ -250,9 +250,6 @@ def fit(
 
             return jax.value_and_grad(loss)(scene)
     elif fused and mesh is not None:
-        if shading:
-            raise NotImplementedError(
-                "shading is not supported in mesh-sharded fused training")
         # Fused kernels under a mesh: shard_map the v3 fwd/bwd over ray
         # tiles (XLA cannot auto-partition a custom kernel). The loss
         # shards its own tiles, so the step wrapper only pins the state
@@ -265,7 +262,8 @@ def fit(
 
         def loss_grads_fn(scene, view, target):
             return l2_loss_grads_v3_sharded(
-                scene, view, target, fused_mesh, fast=True)
+                scene, view, target, fused_mesh, fast=True,
+                shading=shading, light_kd=light_kd)
     elif fused and grad_chunks and grad_chunks > 1:
         from volrt.renderers.pallas.diff_v3 import loss_grads_v3_chunked
 
