@@ -107,3 +107,37 @@ def test_histogram_matches_numpy():
         native.histogram(vol)
         == np.bincount(vol, minlength=256)
     ).all()
+
+
+def test_quantize16_matches_python_bit_exact():
+    """Native gradient-weighted 16->8 quantize == the numpy path byte
+    for byte (the cap rounds replicate numpy's pairwise summation, so
+    even the fp-sensitive outlier capping agrees)."""
+    import os
+
+    import volrt.io.pvm as pvm
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(42)
+    for shape in [(8, 8, 8), (16, 12, 10), (1, 1, 7)]:
+        base = (rng.random(shape) * 60000).astype(np.uint16)
+        zz = np.indices(shape).sum(0)
+        v16 = ((base // 4) + (zz * 997 % 30000)).astype(np.uint16)
+        data = np.stack([(v16 >> 8).astype(np.uint8),
+                         (v16 & 255).astype(np.uint8)], axis=-1)
+        for linear in (False, True):
+            os.environ["VOLRT_NATIVE"] = "0"
+            native._tried = False
+            native._lib = None
+            try:
+                py = pvm.quantize16(data, linear=linear)
+            finally:
+                os.environ.pop("VOLRT_NATIVE", None)
+                native._tried = False
+                native._lib = None
+            nat = native.quantize16(v16, linear=linear)
+            assert nat is not None
+            assert np.array_equal(py, nat), (shape, linear)

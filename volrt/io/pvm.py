@@ -366,6 +366,12 @@ def quantize16(data: np.ndarray, linear: bool = False) -> np.ndarray:
     (reference: ddsbase.cpp:475-558), vectorized with numpy.
     """
     v = data[..., 0].astype(np.uint16) * 256 + data[..., 1].astype(np.uint16)
+
+    from volrt import native
+
+    nat = native.quantize16(v, linear=linear)
+    if nat is not None:
+        return nat
     vmin, vmax = int(v.min()), int(v.max())
 
     if linear:

@@ -99,6 +99,11 @@ def load() -> ctypes.CDLL | None:
         lib.volrt_histogram.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.volrt_quantize16.restype = ctypes.c_int
+        lib.volrt_quantize16.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -162,3 +167,22 @@ def histogram(volume: np.ndarray) -> np.ndarray | None:
         bins.ctypes.data_as(ctypes.c_void_p),
     )
     return bins
+
+
+def quantize16(v16: "np.ndarray", linear: bool = False):
+    """Native gradient-weighted 16->8 bit quantize of a uint16 (D, H, W)
+    volume; None if the library is unavailable (callers fall back to the
+    numpy path, which this matches bit for bit)."""
+    lib = load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(v16, np.uint16)
+    d, h, w = v.shape
+    out = np.empty((d, h, w), np.uint8)
+    rc = lib.volrt_quantize16(
+        v.ctypes.data_as(ctypes.c_void_p), d, h, w, int(linear),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return None
+    return out
