@@ -129,6 +129,19 @@ def _render_frame(mod, rc, log, strict):
     return np.asarray(mod.render(rc)), 0
 
 
+def _composite_bg(img, bg):
+    """Composite the premultiplied uint8 frame over a grayscale
+    background exactly like the reference's display blend
+    (GL_SRC_ALPHA / ONE_MINUS_SRC_ALPHA over glClearColor(bg, bg, bg);
+    reference: UI.cpp:122-128, 431-433) -> (H, W, 3) uint8."""
+    import numpy as np
+
+    f = img.astype(np.float32) / 255.0
+    a = f[..., 3:4]
+    rgb = f[..., :3] * a + bg * (1.0 - a)
+    return np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint8)
+
+
 def cmd_render(args) -> int:
     from volrt.renderers import get_renderer, renderer_name
     from volrt.utils.logger import Logger
@@ -143,6 +156,8 @@ def cmd_render(args) -> int:
         if img is None:
             log.log("aborting: %d overflowed taps (--strict-overflow)", ovf)
             return 3
+        if args.background is not None:
+            img = _composite_bg(img, args.background)
         write_png(args.output, img[::-1])  # y-up buffer -> top-down PNG
         log.log_time("wrote %s (%dx%d)", args.output,
                      img.shape[1], img.shape[0])
@@ -174,6 +189,8 @@ def cmd_render(args) -> int:
             log.log("aborting: %d overflowed taps (--strict-overflow)", ovf)
             return 3
         path = f"{base}_{i:04d}.{ext}"
+        if args.background is not None:
+            img = _composite_bg(img, args.background)
         write_png(path, img[::-1])
         log.log_time("frame %d/%d -> %s", i + 1, args.orbit, path)
         cam.rotate((0.0, step_deg, 0.0))
@@ -331,6 +348,11 @@ def main(argv=None) -> int:
                    help="render N orbit frames (auto-rotate analog)")
     p.add_argument("-o", "--output", default="out.png")
     p.add_argument("--log", default="volrt.log")
+    p.add_argument("--background", type=float, default=None,
+                   metavar="GRAY",
+                   help="composite over a grayscale background in [0, 1] "
+                        "(the reference UI's Background slider, default "
+                        "0.25 there); omit to keep straight RGBA")
     p.add_argument("--strict-overflow", action="store_true",
                    help="exit nonzero if any sample tap fell outside the "
                    "kernel's static window")
