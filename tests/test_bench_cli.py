@@ -194,6 +194,23 @@ class TestProfilerMFU:
 
 
 class TestBenchFileConfig:
+    def test_render_background_composite(self, tmp_path):
+        """--background composites over the reference's gray backdrop
+        (empty pixels become the clear color; output is RGB)."""
+        out = str(tmp_path / "bg.png")
+        r = run_cli(
+            "render", "--synthetic", "16", "-r", "1", "-s", "32", "32",
+            "--background", "0.25", "-o", out,
+            "--log", str(tmp_path / "v.log"),
+        )
+        assert r.returncode == 0, r.stderr
+        from volrt.viz import read_png
+
+        img = read_png(out)
+        assert img.shape == (32, 32, 3)
+        corners = img[[0, 0, -1, -1], [0, -1, 0, -1]]
+        assert (np.abs(corners.astype(int) - 64) <= 1).all()
+
     def test_fit_dist_rays(self, tmp_path):
         """fit --dist rays: the CLI trains over all local devices with
         ray-tile data parallelism (shard_map'ed fused kernels)."""
