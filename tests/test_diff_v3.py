@@ -455,6 +455,18 @@ class TestV3FlushTrim:
         assert run((16, 16)) == 0.0
         assert run((8, 8)) > 0.0
 
+    def test_planned_flush_lost(self):
+        """The plan-time coverage checker agrees with the in-kernel
+        counter: zero for a covering box, positive for an undersized
+        one — without compiling any kernel (pure-XLA setup check for
+        pose-tuned flush shapes, e.g. the bench headline's (32, 16))."""
+        from volrt.renderers.pallas.diff_v3 import planned_flush_lost
+
+        scene, view = setup()
+        assert int(planned_flush_lost(scene, view, None)) == 0
+        assert int(planned_flush_lost(scene, view, (16, 16))) == 0
+        assert int(planned_flush_lost(scene, view, (8, 8))) > 0
+
 
 class TestChunkedGrads:
     def test_chunked_matches_whole(self):

@@ -336,6 +336,20 @@ def bench_diff_step(
     view = cam.view()
     target = jnp.zeros((viewport, viewport, 4), jnp.float32)
 
+    if fused and flush is not None:
+        # Pose-tuned flush boxes silently truncate density gradients when
+        # undersized (autodiff strips the dTF padding cell that carries
+        # the in-band counter) — validate coverage once at plan time.
+        from volrt.renderers.pallas.diff_v3 import planned_flush_lost
+
+        lost = int(jax.jit(planned_flush_lost, static_argnums=(2, 3))(
+            scene, view, tuple(flush),
+            None if window is None else tuple(window)))
+        if lost:
+            raise ValueError(
+                f"flush={flush} drops {lost} gradient rows for this "
+                "config (planned_flush_lost > 0); enlarge the flush box")
+
     if fused:
         import functools
 

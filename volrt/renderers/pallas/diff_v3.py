@@ -2217,3 +2217,51 @@ def _pack_tiles(o, dvec, k0, kfar, alive, acc0, view, ray_step):
     kbase = jnp.where(jnp.isfinite(kbase), kbase, 0.0)
     j0 = jnp.where(talive, jnp.ceil((tk0 - kbase) / ray_step), 0.0)
     return tiles.at[..., layout.CH_J0].set(j0)
+
+
+def planned_flush_lost(scene, view, flush, window=None,
+                       shaded=False, phong=False):
+    """Plan-time coverage check for a pose-tuned backward ``flush`` box.
+
+    Returns the number of written gradient-accumulator rows the static
+    ``(fz, fy)`` flush box would fail to cover over the whole render —
+    the same counter the backward surfaces through the dTF padding cell
+    [0, 7], but computed without compiling or running a kernel (pure-XLA
+    ``plan_windows`` + ``plan_sessions``), so callers can validate a
+    tuned flush shape once at setup instead of discovering truncated
+    density gradients after a training run. Zero means the flush box is
+    safe for this (scene, view, window) combination; nonzero gradients
+    WILL silently drop rows (autodiff strips the dTF padding columns, so
+    the in-band counter never reaches ``scene`` gradients).
+
+    The plan ignores ESL leading-leaps (they only shrink written
+    extents), so a zero here is conservative for ``esl=True`` renders.
+    """
+    if flush is None:
+        return jnp.zeros((), jnp.int32)
+    d, h, w = scene.density.shape
+    dims = (w, h, d)
+    if window is None:
+        window = default_window(dims, view.dims, view.perspective)
+        if shaded or phong:
+            off = (int(0.01 * 0.5 * max(dims)) + 2) if shaded else 2
+            window = (
+                min(window[0] + off, -(-dims[2] // 8) * 8),
+                min(-(-(window[1] + off) // 8) * 8,
+                    -(-dims[1] // 8) * 8),
+                window[2])
+    wz, wy, wx = _norm_window(window)
+    # Padded phase-volume shape without materializing the copies
+    # (mirrors _phase_volumes).
+    shift = wx // 2
+    vshape = (-(-d // 8) * 8, -(-h // 8) * 8,
+              max(128, -(-w // shift) * shift + (128 - wx)))
+    tiles = layout.prepare_ray_tiles_raw(
+        view, scene.ray_step, None, tile_w=TILE, tile_h=TILE)
+    bz, by = _brick_shape(vshape, wz, wy)
+    org = plan_windows(
+        tiles, dims, vshape, scene.ray_step, wz, wy, bz, by, wx=wx,
+        view_dims=view.dims)
+    fz, fy = int(flush[0]), int(flush[1])
+    _, lost_t = plan_sessions(org, vshape, wz, wy, fz, fy, wx)
+    return jnp.sum(lost_t)
