@@ -31,10 +31,14 @@ def main() -> int:
     from volrt.bench.harness import bench_diff_step
 
     # Static per-view window for the axis-aligned headline pose (validated
-    # overflow-free on hardware; see diff_v3.default_window for the
-    # general-view derivation).
-    window = (16, 24, 128) if backend != "cpu" else None
-    flush = (32, 16) if backend != "cpu" else None
+    # overflow-free on hardware — ovf counter 0 at 256^3/1024^2 — and
+    # flush-coverage-clean via diff_v3.planned_flush_lost, which
+    # bench_diff_step also re-checks at plan time; see
+    # diff_v3.default_window for the general-view derivation). Round-2
+    # sweep winners: window (16,16,128) 487 -> flush (64,16) 479 ms vs
+    # 593 ms for the earlier (16,24,128)/(32,16).
+    window = (16, 16, 128) if backend != "cpu" else None
+    flush = (64, 16) if backend != "cpu" else None
     m = bench_diff_step(
         volume_size=size, viewport=viewport, iters=iters, window=window,
         flush=flush)
