@@ -117,9 +117,12 @@ class TestV3Backward:
 
 class TestV3ESL:
     def test_esl_image_identical_grads_match_reference(self):
-        """Leading-empty-space leaping leaves the image unchanged (skipped
-        samples have zero TF contribution) and the fused ESL gradients match
-        the XLA reference with the same ESL setting."""
+        """Plan-time empty-group compaction leaves the image unchanged
+        (every skipped sample lerps to zero TF opacity) and the gradients
+        match the XLA reference: density everywhere, TF on every entry a
+        marched sample can reach (zero-run entries adjacent to skipped
+        empty-block samples legitimately lose their — image-neutral —
+        cotangent, as with any ESL mode; see plan_windows)."""
         vol = np.zeros((16, 16, 16), np.uint8)
         vol[10:14, 10:14, 10:14] = 220  # sparse corner blob
         scene = scene_from_volume(
@@ -150,8 +153,73 @@ class TestV3ESL:
         g_v3 = jax.grad(loss_v3)(scene)
         np.testing.assert_allclose(
             np.asarray(g_ref.density), np.asarray(g_v3.density), atol=5e-6)
+        # TF rows reachable only from TF-empty samples differ by design
+        # (the XLA reference leaps leading empty space only; compaction
+        # drops interior/trailing empty samples too). Compare where the
+        # TF has opacity — the rows that shape the image.
+        alpha = np.asarray(scene.tf_base[:, 3])
+        live_rows = (alpha > 0) & (np.roll(alpha, 1) > 0)
         np.testing.assert_allclose(
-            np.asarray(g_ref.tf_base), np.asarray(g_v3.tf_base), atol=5e-6)
+            np.asarray(g_ref.tf_base)[live_rows],
+            np.asarray(g_v3.tf_base)[live_rows], atol=5e-6)
+
+    def test_esl_plan_compacts_groups(self):
+        """The org table actually shrinks: a sparse scene's empty groups
+        are deleted at plan time (the kernels never march them)."""
+        from volrt.diff.render import scene_empty_grid
+        from volrt.renderers.pallas import diff_v3, layout
+
+        n = 64
+        vol = np.zeros((n, n, n), np.uint8)
+        vol[24:40, 24:40, 24:40] = 200
+        scene = scene_from_volume(
+            jnp.asarray(vol), default_transfer_fn(), 2.0 / n)
+        cam = Camera(dims=(64, 64))
+        cam.zoom(-1.0)
+        view = cam.view()
+        empty, block, _ = scene_empty_grid(scene)
+        tiles = layout.prepare_ray_tiles_raw(
+            view, scene.ray_step, None,
+            tile_w=diff_v3.TILE, tile_h=diff_v3.TILE)
+        dims = (n, n, n)
+        window = diff_v3._norm_window(
+            diff_v3.default_window(dims, view.dims, False))
+        vshape = (n, n, 128)
+        bz, by = diff_v3._brick_shape(vshape, window[0], window[1])
+        kw = dict(wx=window[2], view_dims=view.dims)
+        org0 = diff_v3.plan_windows(
+            tiles, dims, vshape, scene.ray_step, window[0], window[1],
+            bz, by, **kw)
+        org1 = diff_v3.plan_windows(
+            tiles, dims, vshape, scene.ray_step, window[0], window[1],
+            bz, by, empty=empty, esl_block=block, **kw)
+        full = int(jnp.sum(org0[:, 0, diff_v3.F_NG]))
+        kept = int(jnp.sum(org1[:, 0, diff_v3.F_NG]))
+        assert kept < full // 2, (kept, full)
+        # Survivors keep their true band indices.
+        ngl = np.asarray(org1[:, 0, diff_v3.F_NG])
+        b0 = np.asarray(org1[..., diff_v3.F_B0])
+        for t in range(org1.shape[0]):
+            assert (np.diff(b0[t, :ngl[t]]) > 0).all()
+
+
+class TestV3FaceWindows:
+    def test_narrow_z_window_volume_face(self):
+        """Regression: the window-origin line must be fitted unclipped —
+        clipping the endpoints into [0, D - wz] flattens descending
+        entry-face lines and drops the top tap (exactly one overflow per
+        ray at wz=8)."""
+        scene, _ = setup(n=48, wh=96, step=2.0 / 48, angles=(0.0, 0.0, 0.0))
+        cam = Camera(dims=(96, 96))
+        cam.zoom(-1.0)
+        view = cam.view()
+        a = np.asarray(render_diff_image(scene, view, ray_threshold=2.0))
+        b, ovf = jax.jit(
+            lambda s, v: render_image_v3_with_ovf(
+                s, v, ray_threshold=2.0, window=(8, 16, 128))
+        )(scene, view)
+        assert float(ovf) == 0.0
+        np.testing.assert_allclose(a, np.asarray(b), atol=2e-4)
 
 
 class TestV3NarrowXWindow:

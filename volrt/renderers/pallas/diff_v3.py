@@ -162,14 +162,18 @@ def n_groups_for(ray_step: float, view_dims=None) -> int:
 # Window planning prologue (pure XLA)
 # ---------------------------------------------------------------------------
 
-# org field indices (int32, per tile x group)
+# org field indices (int32, per tile x group). F_B0 is the group's first
+# band index — equal to ``slot * G`` without ESL, but decoupled from the
+# slot once plan-time empty-group compaction (``empty=`` below) drops
+# groups whose tap footprint is entirely TF-empty.
 (F_Z0, F_DZ, F_Y0, F_DY, F_XO, F_PH, F_BZO, F_BYO, F_NG,
- F_WZL, F_WZH, F_WYL, F_WYH) = range(13)
+ F_WZL, F_WZH, F_WYL, F_WYH, F_B0) = range(14)
 ORG_C = 16  # padded field count
 
 
 def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by,
-                 wx=128, view_dims=None, z_off=None):
+                 wx=128, view_dims=None, z_off=None, empty=None,
+                 esl_block=None):
     """Fit per-(tile, group) window-origin lines from the ray bundle.
 
     For straight rays the per-band footprint minimum is (near-)linear in
@@ -178,6 +182,22 @@ def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by,
     and store origin + fixed-point slope. Exact for orthographic bundles
     (identical directions); perspective divergence within an 8x8 tile is
     absorbed by MARGIN and detectable via the kernel's overflow counter.
+
+    ``empty`` (``bool[32,32,32]`` per-block TF-emptiness,
+    :func:`volrt.core.esl.derive_empty_grid`, with ``esl_block`` the block
+    edge in voxels) enables **plan-time empty-space skipping**: groups
+    whose whole trilinear tap footprint lies in empty blocks are deleted
+    from the org table (kept groups compact down, ``F_B0`` preserves each
+    survivor's true first-band index). The kernels then march only
+    non-empty groups — leading, interior, AND trailing empty space all
+    cost zero kernel time, with no in-kernel tests and no per-ray leap
+    loop (the TPU-native answer to the reference's ``leap_empty_space``,
+    RaycasterBase.h:67-85). Image-exact: every skipped sample lies in a
+    block whose [min, max] density range lerps to zero opacity under the
+    premultiplied TF, so its contribution (and its density gradient,
+    except exactly at the zero-run boundary — measure zero) is zero.
+    Like any ESL mode, TF gradients on zero-run entries adjacent to
+    skipped samples are dropped.
 
     Returns int32 ``org[T, NG, ORG_C]``.
     """
@@ -230,15 +250,20 @@ def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by,
     xmin = stats[..., (4, 10)]
     zmax = stats[..., (1, 7)]
     ymax = stats[..., (3, 9)]
+    xmax = stats[..., (5, 11)]
     live = stats[..., 12] > 0.0
 
     def line(lo, limit, width, span, align=1):
-        s = jnp.clip(
-            jnp.floor(lo[..., 0]).astype(jnp.int32) - MARGIN, 0,
-            limit - width)
-        e = jnp.clip(
-            jnp.floor(lo[..., 1]).astype(jnp.int32) - MARGIN, 0,
-            limit - width)
+        # The line is fitted UNCLIPPED: clipping an endpoint into
+        # [0, limit - width] before fitting distorts the slope at volume
+        # faces (a descending entry-face line gets a flattened chord that
+        # dips below the feasible-origin pin and drops the top tap —
+        # exactly one overflow per ray at wz=8). The kernel's per-band
+        # clamp into the resident brick does the pinning instead, and
+        # bricks pin flush at volume faces, so the clamp bound equals the
+        # volume's own feasible-origin bound there.
+        s = jnp.floor(lo[..., 0]).astype(jnp.int32) - MARGIN
+        e = jnp.floor(lo[..., 1]).astype(jnp.int32) - MARGIN
         if align > 1:
             s = s & ~(align - 1)
             e = e & ~(align - 1)
@@ -251,7 +276,7 @@ def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by,
         q = (e - s) * 16
         slope16 = jnp.where(live, q // max(G - 1, 1), 0)
         return jnp.where(live, s, 0), slope16, jnp.where(
-            live, jnp.minimum(s, e), 0)
+            live, jnp.clip(jnp.minimum(s, e), 0, limit - width), 0)
 
     z0, dz16, zlo = line(zmin, Dp, wz, bz - wz)
     y0, dy16, ylo = line(ymin, Hp, wy, by - wy, align=8)
@@ -281,6 +306,9 @@ def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by,
     org = org.at[..., F_PH].set(phase)
     org = org.at[..., F_BZO].set(bzo)
     org = org.at[..., F_BYO].set(byo)
+    org = org.at[..., F_B0].set(
+        jnp.broadcast_to(jnp.arange(ng, dtype=jnp.int32) * G,
+                         (t_count, ng)))
     org = org.at[:, 0, F_NG].set(ng_live)
 
     # Written-row extents per group (hat-tap support +- margin): the
@@ -298,6 +326,41 @@ def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by,
     org = org.at[..., F_WZH].set(wzh)
     org = org.at[..., F_WYL].set(wyl)
     org = org.at[..., F_WYH].set(wyh)
+
+    if empty is not None:
+        # Empty-group deletion: a group survives iff any ESL block
+        # intersecting its tap-footprint AABB is non-empty. One 33^3
+        # summed-area table makes every (tile, group) test 8 gathers.
+        blk = int(esl_block)
+        sat = jnp.pad(jnp.cumsum(jnp.cumsum(jnp.cumsum(
+            jnp.logical_not(empty).astype(jnp.int32),
+            axis=0), axis=1), axis=2), ((1, 0), (1, 0), (1, 0)))
+
+        def brange(lo2, hi2, n_vox):
+            # Taps span [floor(lo), floor(hi) + 1], clamped like the
+            # kernel clamps coordinates; SAT hi is exclusive.
+            lo = jnp.min(lo2, axis=-1)
+            hi = jnp.max(hi2, axis=-1)
+            l_ = jnp.clip(jnp.floor(lo), 0.0, n_vox - 1.0)
+            h_ = jnp.clip(jnp.floor(hi) + 1.0, 0.0, n_vox - 1.0)
+            return (l_.astype(jnp.int32) // blk,
+                    h_.astype(jnp.int32) // blk + 1)
+
+        zl, zh = brange(zmin, zmax, d)
+        yl, yh = brange(ymin, ymax, h)
+        xl, xh = brange(xmin, xmax, w)
+        cnt = (sat[zh, yh, xh] - sat[zl, yh, xh] - sat[zh, yl, xh]
+               - sat[zh, yh, xl] + sat[zl, yl, xh] + sat[zl, yh, xl]
+               + sat[zh, yl, xl] - sat[zl, yl, xl])
+        keep = live & (cnt > 0)
+        # Compact surviving rows down (F_B0 keeps their band indices);
+        # dropped rows scatter to a discard slot beyond the table.
+        dst = jnp.where(keep, jnp.cumsum(keep, axis=1) - 1, ng)
+        tidx = jnp.arange(t_count)[:, None]
+        org2 = jnp.zeros((t_count, ng + 1, ORG_C), jnp.int32)
+        org = org2.at[tidx, dst].set(org)[:, :ng]
+        org = org.at[:, 0, F_NG].set(
+            jnp.sum(keep, axis=1, dtype=jnp.int32))
     return org
 
 
@@ -486,9 +549,11 @@ def plan_sessions(org, vol_shape, wz, wy, fz, fy, wx):
 # ---------------------------------------------------------------------------
 
 
-def _geometry(rays, B, step, dims, z_off=None, local_d=None):
+def _geometry(rays, b0, step, dims, z_off=None, local_d=None):
     """Per-group (G, R) sample coordinates + analytic masks.
 
+    ``b0`` is the group's first band index (``org[F_B0]`` — decoupled
+    from the loop slot under plan-time empty-group compaction).
     ``z_off``/``local_d`` remap the global z coordinate into a Z-slab's
     local rows (volume-sharded mode): local = clip(global) - z_off,
     clipped to the slab (the one-voxel halo keeps interior taps exact).
@@ -499,7 +564,7 @@ def _geometry(rays, B, step, dims, z_off=None, local_d=None):
     k0, kfar = rays[6:7], rays[7:8]
     alive0, j0 = rays[8:9], rays[9:10]
     bb = (jax.lax.broadcasted_iota(jnp.int32, (G, R), 0)
-          + B * G).astype(jnp.float32)
+          + b0).astype(jnp.float32)
     started = (bb >= j0).astype(jnp.float32)
     kk = k0 + (bb - j0) * step
     m_ana = alive0 * started * (kk <= kfar).astype(jnp.float32)
@@ -801,7 +866,7 @@ def _fwd_kernel(
         byo = pl.multiple_of(org_ref[0, B, F_BYO], 8)
         xo = org_ref[0, B, F_XO]
         tx, ty, tz, m_ana, pw = _geometry(
-            rays, B, ray_step, dims,
+            rays, org_ref[0, B, F_B0], ray_step, dims,
             z_off=(scal_ref[0, 5] if slab else None), local_d=vref_d)
 
         if shade:
@@ -1227,7 +1292,7 @@ def _bwd_kernel(
         k = jnp.where(new, kp, k)
 
         tx, ty, tz, m_ana, pw = _geometry(
-            rays, B, ray_step, dims,
+            rays, org_ref[0, B, F_B0], ray_step, dims,
             z_off=(scal_ref[0, 5] if slab else None),
             local_d=float(v0_ref.shape[0]))
 
@@ -1925,24 +1990,22 @@ def render_image_v3_with_ovf(scene, view, ray_threshold=0.95,
                              light_kd=0.0, shaded=False, flush=None,
                              phong=False):
     """As render_image_v3 but also returns the total overflow count."""
-    d, h, w = scene.density.shape
-    dims = (w, h, d)
-    esl_fn = None
+    esl_grid = None
     if esl:
+        # Plan-time empty-group compaction (see plan_windows): replaces
+        # round 2's per-ray XLA leading-leap loop, which cost more than
+        # the march it saved (BASELINE.md round-2 ESL accounting).
         from volrt.diff.render import scene_empty_grid
-        from volrt.renderers.batched import esl_start_raw
 
-        empty, block, bs = scene_empty_grid(scene)
-        esl_fn = (lambda o, dvec, kn, kf, hit: esl_start_raw(
-            empty, dims, block, bs, scene.ray_step,
-            o, dvec, kn, kf, hit))
+        empty, block, _ = scene_empty_grid(scene)
+        esl_grid = (empty, block)
     premult = jnp.concatenate(
         [scene.tf_base[:, :3] * scene.tf_base[:, 3:4],
          scene.tf_base[:, 3:4]], axis=-1)
     return render_view_v3(
         scene.density, premult, scene.ray_step, view,
         ray_threshold=ray_threshold, window=window, fast=fast,
-        esl_fn=esl_fn, light_kd=light_kd, shaded=shaded, flush=flush,
+        esl_grid=esl_grid, light_kd=light_kd, shaded=shaded, flush=flush,
         phong=phong)
 
 
@@ -2033,13 +2096,16 @@ def loss_grads_v3_chunked(scene, view, target, n_chunks,
 def render_view_v3(density, premult_tf, ray_step, view,
                    ray_threshold=0.95, window=None, fast=False,
                    esl_fn=None, light_kd=0.0, shaded=False,
-                   phong=False, flush=None, _vjp=True):
+                   phong=False, flush=None, esl_grid=None, _vjp=True):
     """Premult-level v3 render -> (f32[H, W, 4], overflow count).
 
     ``density`` is the float grid (D, H, W); ``premult_tf`` the
     premultiplied RGBA LUT (TF_SIZE, 4). Used by the scene-level diff API
     and the forward renderer-ladder rung (which has a uint8 Raycaster
     instead of a DiffScene). Differentiable w.r.t. density/premult_tf.
+    ``esl_grid=(empty_bool_grid, block_voxels)`` enables plan-time
+    empty-group compaction (see :func:`plan_windows`); ``esl_fn`` is the
+    legacy per-ray leading-leap hook (still honored; both may combine).
     """
     d, h, w = density.shape
     dims = (w, h, d)
@@ -2074,7 +2140,9 @@ def render_view_v3(density, premult_tf, ray_step, view,
     bz, by = _brick_shape(vols[0].shape, window[0], window[1])
     org = plan_windows(
         tiles, dims, vols[0].shape, ray_step, window[0], window[1],
-        bz, by, wx=window[2], view_dims=view.dims)
+        bz, by, wx=window[2], view_dims=view.dims,
+        empty=esl_grid[0] if esl_grid is not None else None,
+        esl_block=esl_grid[1] if esl_grid is not None else None)
     tfl = jnp.pad(premult_tf, ((0, 0), (0, 4)))
 
     if _vjp:
