@@ -81,3 +81,34 @@ def test_fit_grad_chunks_trains():
     _, losses = fit(scene, [(view, target)], steps=3, lr=0.05,
                     train_tf=False, fused=True, grad_chunks=2)
     assert losses[-1] < losses[0]
+
+
+def test_fit_esl_density_only_matches_plain():
+    """fit(esl=True) on a sparse scene: plan-time empty-group compaction
+    is image-exact and density gradients are untouched, so a density-only
+    fit walks the same loss trajectory as esl=False."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from volrt.core.tf import default_transfer_fn
+    from volrt.core.view import Camera
+    from volrt.diff.render import DiffScene, scene_from_volume
+    from volrt.diff.render import render_diff_image
+    from volrt.train.fit import fit
+
+    vol = np.zeros((16, 16, 16), np.uint8)
+    vol[6:11, 6:11, 6:11] = 220
+    gt = scene_from_volume(jnp.asarray(vol), default_transfer_fn(), 0.12)
+    cam = Camera(dims=(32, 32))
+    cam.set_camera_position((30.0, 20.0, 0.0))
+    view = cam.view()
+    target = render_diff_image(gt, view)
+    init = DiffScene(
+        density=jnp.full(vol.shape, 0.3, jnp.float32),
+        tf_base=default_transfer_fn(), ray_step=0.12)
+    _, l_esl = fit(init, [(view, target)], steps=3, lr=0.05,
+                   train_tf=False, fused=True, esl=True)
+    _, l_ref = fit(init, [(view, target)], steps=3, lr=0.05,
+                   train_tf=False, fused=True)
+    assert l_esl[-1] < l_esl[0]
+    np.testing.assert_allclose(l_esl, l_ref, rtol=1e-4)

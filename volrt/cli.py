@@ -283,6 +283,7 @@ def cmd_fit(args) -> int:
         volume_sharded=(args.dist == "volume"),
         shading=args.shading,
         light_kd=args.light_kd,
+        esl=args.esl,
     )
     if losses:
         log.log_time("final loss %.6f", losses[-1])
@@ -404,6 +405,10 @@ def main(argv=None) -> int:
     p.add_argument("--grad-chunks", type=int, default=0,
                    help="accumulate gradients over N ray-tile chunks "
                    "(fused only; keeps 512^3-scale backward in HBM)")
+    p.add_argument("--esl", action="store_true",
+                   help="skip TF-empty space during training (plan-time "
+                   "group compaction; image-exact — see "
+                   "diff_v3.plan_windows for the TF-gradient caveat)")
     p.add_argument("--log", default="volrt.log")
     p.set_defaults(fn=cmd_fit)
 

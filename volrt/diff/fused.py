@@ -134,7 +134,8 @@ def render_image_fused(
 
 def l2_loss_fused(scene: DiffScene, view, target: jax.Array,
                   fast: bool = False, shaded: bool = False,
-                  light_kd=0.6, phong: bool = False) -> jax.Array:
+                  light_kd=0.6, phong: bool = False,
+                  esl: bool = False) -> jax.Array:
     img = render_image_fused(scene, view, fast=fast, shaded=shaded,
-                             light_kd=light_kd, phong=phong)
+                             light_kd=light_kd, phong=phong, esl=esl)
     return jnp.mean((img - target) ** 2)

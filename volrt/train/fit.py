@@ -172,6 +172,7 @@ def fit(
     volume_sharded: bool = False,
     shading: str | None = None,
     light_kd: float = 0.6,
+    esl: bool = False,
 ) -> tuple[DiffScene, list[float]]:
     """Fit the scene to targets; returns (scene, per-step losses).
 
@@ -232,6 +233,35 @@ def fit(
                     return jnp.mean((img - target) ** 2)
         else:
             raise ValueError(f"unknown shading mode: {shading!r}")
+    if esl:
+        # Empty-space-skipped training (plan-time group compaction on the
+        # fused path, leading leap on the XLA path): the render is
+        # image-exact, so on sparse scenes this is pure speedup. Caveat
+        # (documented at diff_v3.plan_windows): TF entries in the current
+        # zero-opacity run receive no cotangent from skipped samples, so
+        # a trained TF cannot "switch on" density ranges the running TF
+        # maps to zero — train with esl=False if that matters. The empty
+        # grid re-derives from the live tf_base every step, so ranges the
+        # TF *does* open during training are marched from then on.
+        if volume_sharded or (fused and mesh is not None) or (
+                grad_chunks and grad_chunks > 1):
+            raise NotImplementedError(
+                "esl=True supports the single-chip fused and XLA paths")
+        if fused:
+            from volrt.diff import fused as fused_mod
+
+            def loss_fn(scene, view, target, _sh=shading):
+                return fused_mod.l2_loss_fused(
+                    scene, view, target, fast=True, esl=True,
+                    shaded=(_sh == "diffuse"), phong=(_sh == "phong"),
+                    light_kd=(light_kd if _sh else 0.0))
+        else:
+            def loss_fn(scene, view, target, _sh=shading):
+                img = render_diff_image(
+                    scene, view, esl=True,
+                    light_kd=(light_kd if _sh else 0.0),
+                    shaded=(_sh == "diffuse"), phong=(_sh == "phong"))
+                return jnp.mean((img - target) ** 2)
     if volume_sharded:
         if mesh is None:
             raise ValueError("volume_sharded=True requires a mesh")
