@@ -34,10 +34,13 @@ def main() -> int:
     # overflow-free on hardware — ovf counter 0 at 256^3/1024^2 — and
     # flush-coverage-clean via diff_v3.planned_flush_lost, which
     # bench_diff_step also re-checks at plan time; see
-    # diff_v3.default_window for the general-view derivation). Round-2
-    # sweep winners: window (16,16,128) 487 -> flush (64,16) 479 ms vs
-    # 593 ms for the earlier (16,24,128)/(32,16).
-    window = (16, 16, 128) if backend != "cpu" else None
+    # diff_v3.default_window for the general-view derivation). Round-3
+    # sweep winner after the unclipped-line fix unlocked narrow z windows
+    # (z slices have no sublane-alignment constraint): (6,16,128) at
+    # 351.7 ms vs round 2's (16,16,128) champion at 478.8 ms; flush
+    # re-sweep kept (64,16). wz 4/5 plateau at 347 ms (within noise of 6
+    # and tighter against pose drift, so 6 is kept).
+    window = (6, 16, 128) if backend != "cpu" else None
     flush = (64, 16) if backend != "cpu" else None
     m = bench_diff_step(
         volume_size=size, viewport=viewport, iters=iters, window=window,

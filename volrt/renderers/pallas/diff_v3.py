@@ -78,7 +78,9 @@ _BWD_ABLATE: frozenset = frozenset()
 # fully constant tap matrix (strips AND expand removed — the expand is
 # what the "wmat" switch still pays), "xw" constant x weights, "tf"
 # skip the TF lane gathers, "geom" constant sample coordinates,
-# "groupw" skip the batched compositing weights.
+# "groupw" skip the batched compositing weights, "matmul" constant
+# gather-matmul output (isolates the MXU gather), "xreduce" skip the
+# (wx, R) x-weighted reduction (isolates the x chain's multiply+sum).
 _FWD_ABLATE: frozenset = frozenset()
 
 # Experiment: under fast mode, cast the z/y hat strips to bf16 BEFORE the
@@ -95,6 +97,16 @@ _WMAT_BF16 = False
 # a large share of both kernels' VPU floor). Hardware A/B via jobd.
 _WMAT_DIRECT = False
 
+# Experiment: replace the expand's pltpu.repeat (a VPU tile-pattern copy,
+# the expensive half of the expand) with an MXU matmul against a constant
+# one-hot replication matrix: repeat(wyw, wz) == P @ wyw with
+# P[i, y] = [i % wy == y]. The ablation says the MXU is underutilized
+# while the VPU is the bottleneck — this trades the copy for (wz*wy) x
+# wy x R MACs and leaves only the broadcast (cheap) and one multiply on
+# the VPU. ROADMAP round-3 candidate "fold the expand into the gather
+# matmul (hat strips as MXU operands)".
+_WMAT_MXU = False
+
 
 def _expand_taps(wzw, wyw, wz, wy, dtype):
     """(wz, R) x (wy, R) hat strips -> (wz*wy, R) tap matrix, row-major
@@ -102,6 +114,16 @@ def _expand_taps(wzw, wyw, wz, wy, dtype):
     if _WMAT_DIRECT:
         return (wzw[:, None, :] * wyw[None, :, :]).reshape(
             wz * wy, R).astype(dtype)
+    if _WMAT_MXU:
+        ry = jax.lax.broadcasted_iota(jnp.int32, (wz * wy, wy), 0) % wy
+        cy = jax.lax.broadcasted_iota(jnp.int32, (wz * wy, wy), 1)
+        p = (ry == cy).astype(jnp.float32)  # constant; hoisted by LICM
+        wyt = jax.lax.dot_general(
+            p, wyw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (jnp.broadcast_to(
+            wzw[:, None, :], (wz, wy, R)).reshape(wz * wy, R)
+            * wyt).astype(dtype)
     return (
         jnp.broadcast_to(wzw[:, None, :], (wz, wy, R)).reshape(wz * wy, R)
         * pltpu.repeat(wyw, wz, axis=0)
@@ -639,15 +661,21 @@ def _band_sample(brick_ref, iotas, tx, ty, tz, z0g, y0g, xo,
     bzo = 0  # brick slice offsets are pre-subtracted by the caller
     del bzo
     brick2 = brick_ref  # (wz*wy, wx) view prepared by caller
-    xrows = jax.lax.dot_general(
-        brick2, wmat, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec)                                    # (wx, R)
+    if "matmul" in _FWD_ABLATE:
+        xrows = jnp.broadcast_to(wmat[0:1, :] * 1e-8, (wx, R))
+    else:
+        xrows = jax.lax.dot_general(
+            brick2, wmat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)                                # (wx, R)
     if "xw" in _FWD_ABLATE:
         xw = jnp.broadcast_to(lx * 1e-8, (wx, R))
     else:
         xw = jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lx))    # (wx, R)
-    sval = jnp.sum(xrows * xw, axis=0, keepdims=True)
+    if "xreduce" in _FWD_ABLATE:
+        sval = xrows[0:1] * xw[0:1]
+    else:
+        sval = jnp.sum(xrows * xw, axis=0, keepdims=True)
     return sval, ovf, (wmat, xw, lx, xrows)
 
 
