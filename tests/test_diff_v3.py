@@ -564,3 +564,57 @@ class TestChunkedGrads:
             np.testing.assert_allclose(
                 np.asarray(g_c.tf_base), np.asarray(g_ref.tf_base),
                 atol=1e-6)
+
+
+class TestAutoWindow:
+    def test_planned_ovf_matches_kernel_and_auto_picks_clean(self):
+        """planned_window_ovf replays the kernel's window arithmetic in
+        pure XLA: zero planned == zero kernel overflow, an undersized
+        window is flagged before any kernel compiles, and auto_window
+        returns a zero-overflow pick per pose."""
+        from volrt.renderers.pallas.diff_v3 import (
+            auto_window, planned_window_ovf)
+
+        scene, _ = setup(n=24, wh=48, step=2.0 / 24)
+        for angles in [(0.0, 0.0, 0.0), (45.0, 45.0, 0.0)]:
+            cam = Camera(dims=(48, 48))
+            cam.zoom(-1.0)
+            cam.set_camera_position(angles)
+            view = cam.view()
+            w = auto_window(scene.density.shape, view,
+                            float(scene.ray_step))
+            planned = int(planned_window_ovf(
+                scene.density.shape, view, float(scene.ray_step), w))
+            _, ovf = jax.jit(
+                lambda s, v, w=w: render_image_v3_with_ovf(
+                    s, v, ray_threshold=2.0, window=w))(scene, view)
+            assert planned == 0 and float(ovf) == 0.0
+            tiny = int(planned_window_ovf(
+                scene.density.shape, view, float(scene.ray_step),
+                (4, 8, 128)))
+            assert tiny > 0
+
+    def test_rung5_esl_compaction_renders(self):
+        """Rung 5 with rc.esl routes through plan-time compaction and
+        stays pixel-identical to esl off."""
+        import numpy as np
+
+        from volrt.core.types import Volume, make_raycaster
+        from volrt.renderers.pallas import fwd_v3
+
+        vol = np.zeros((16, 16, 16), np.uint8)
+        vol[10:14, 10:14, 10:14] = 220
+        for esl in (False, True):
+            rc = make_raycaster(
+                Volume.from_numpy(vol), interpolation="trilinear",
+                esl=esl)
+            cam = Camera(dims=(32, 32))
+            cam.set_camera_position((30.0, 20.0, 0.0))
+            rc = rc.replace(view=cam.view())
+            img, ovf = fwd_v3.render_float(rc)
+            assert float(ovf) == 0.0
+            if esl:
+                np.testing.assert_allclose(
+                    np.asarray(img), ref, atol=1e-6)
+            else:
+                ref = np.asarray(img)

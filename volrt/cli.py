@@ -102,19 +102,28 @@ def _make_rc(args, camera=None):
     )
 
 
-def _render_frame(mod, rc, log, strict):
+def _render_frame(mod, rc, log, strict, window=None):
     """Render one frame; surface the window-overflow counter for the
     windowed kernels (rungs 3/4): a nonzero count means some trilinear taps
     fell outside the static window and contributed zero (the documented
     approximation) — warn, and fail under ``--strict-overflow``.
     Frames that exhaust HBM are retried in row bands (the
-    ``cuda_safe_malloc`` soft-OOM analog, reference: cuda_utils.h:43-49)."""
+    ``cuda_safe_malloc`` soft-OOM analog, reference: cuda_utils.h:43-49).
+    ``window`` (rung 5 only) overrides the kernel's static sampling
+    window — e.g. a per-pose ``auto_window`` pick."""
     from volrt.core import sampling
     from volrt.utils.errors import render_with_oom_fallback
 
     if hasattr(mod, "render_float") and mod.NAME.startswith("pallas"):
+        import inspect
+
+        takes_window = (
+            window is not None
+            and "window" in inspect.signature(mod.render_float).parameters)
+
         def one(sub_rc):
-            out = mod.render_float(sub_rc)
+            out = (mod.render_float(sub_rc, window=tuple(window))
+                   if takes_window else mod.render_float(sub_rc))
             return out if isinstance(out, tuple) else (out, 0.0)
 
         fimg, n = render_with_oom_fallback(one, rc, log=log)
@@ -150,9 +159,21 @@ def cmd_render(args) -> int:
     log = Logger(args.log, quiet=False)
     rc = _make_rc(args)
     mod = get_renderer(args.renderer)
+    window = getattr(args, "window", None)
+    if window == ["auto"]:
+        from volrt.renderers.pallas.diff_v3 import auto_window
+
+        window = auto_window(
+            rc.volume.data.shape, rc.view, float(rc.ray_step),
+            esl_grid=((rc.esl_empty, rc.esl_block_dims)
+                      if rc.esl else None))
+        log.log("auto window for this pose: %s", window)
+    elif window is not None:
+        window = tuple(int(x) for x in window)
     log.log_time("rendering with %s ...", renderer_name(args.renderer))
     if args.orbit <= 1:
-        img, ovf = _render_frame(mod, rc, log, args.strict_overflow)
+        img, ovf = _render_frame(mod, rc, log, args.strict_overflow,
+                                 window=window)
         if img is None:
             log.log("aborting: %d overflowed taps (--strict-overflow)", ovf)
             return 3
@@ -176,11 +197,20 @@ def cmd_render(args) -> int:
 
     for i in range(args.orbit):
         frame_rc = rc.replace(view=cam.view())
+        if getattr(args, "window", None) == ["auto"]:
+            from volrt.renderers.pallas.diff_v3 import auto_window
+
+            window = auto_window(
+                frame_rc.volume.data.shape, frame_rc.view,
+                float(frame_rc.ray_step),
+                esl_grid=((frame_rc.esl_empty, frame_rc.esl_block_dims)
+                          if frame_rc.esl else None))
         # -nosafe continues past per-frame failures (reference:
         # VolR.cpp:404-406, cuda_utils.h:28-29).
         res, err = safe_call(
             _render_frame, mod, frame_rc, log, args.strict_overflow,
-            log=log, nosafe=args.nosafe, what=f"orbit frame {i}")
+            log=log, nosafe=args.nosafe, what=f"orbit frame {i}",
+            window=window)
         if err is not None:
             cam.rotate((0.0, step_deg, 0.0))
             continue
@@ -354,6 +384,11 @@ def main(argv=None) -> int:
                    help="composite over a grayscale background in [0, 1] "
                         "(the reference UI's Background slider, default "
                         "0.25 there); omit to keep straight RGBA")
+    p.add_argument("--window", nargs="+", default=None,
+                   help="static sampling window for the windowed rungs: "
+                   "WZ WY [WX], or 'auto' to pick the tightest "
+                   "overflow-free window for this pose from the plan "
+                   "replay (diff_v3.auto_window — no fudge factors)")
     p.add_argument("--strict-overflow", action="store_true",
                    help="exit nonzero if any sample tap fell outside the "
                    "kernel's static window")

@@ -1408,8 +1408,16 @@ def _bwd_kernel(
                 gx8 = jnp.concatenate(gxs, axis=0)
                 gy8 = jnp.concatenate(gys, axis=0)
                 gz8 = jnp.concatenate(gzs, axis=0)
-        (cr8, cg8, cb8, ca8), (tt8, lo8, rng8) = _tf_gather(
-            sv8, None, lutl)
+        if "tf" in abl:
+            svp = (sv8 if R >= 128
+                   else jnp.pad(sv8, ((0, 0), (0, 128 - R))))
+            cr8 = cg8 = cb8 = ca8 = svp * 0.01
+            tt8 = svp * 100.0
+            lo8 = jnp.clip(tt8.astype(jnp.int32), 0, TF_SIZE - 1)
+            rng8 = jnp.ones_like(svp)
+        else:
+            (cr8, cg8, cb8, ca8), (tt8, lo8, rng8) = _tf_gather(
+                sv8, None, lutl)
         # Batched slope gathers (replaces a per-band d(one-hot) matmul).
         lanes = max(R, 128)
         if "slopes" in abl:
@@ -2313,6 +2321,125 @@ def _pack_tiles(o, dvec, k0, kfar, alive, acc0, view, ray_step):
     kbase = jnp.where(jnp.isfinite(kbase), kbase, 0.0)
     j0 = jnp.where(talive, jnp.ceil((tk0 - kbase) / ray_step), 0.0)
     return tiles.at[..., layout.CH_J0].set(j0)
+
+
+def planned_window_ovf(density_shape, view, ray_step, window,
+                       esl_grid=None):
+    """Exact plan-time count of base-tap window overflows for a pose.
+
+    Replays the kernel's per-band window arithmetic (origin line,
+    fixed-point slope, brick clamp) in pure XLA against the exact ray
+    footprints and counts taps the static ``window`` would zero — the
+    same events the kernel's overflow output counts (ERT-ungated, so
+    >= the kernel's count), available WITHOUT compiling or running a
+    kernel. This is the measured replacement for
+    guessing window sizes from a divergence model: a zero here proves
+    the window exact for this (volume, pose, ray_step).
+
+    Counts the trilinear base taps (shaded/phong renders widen the
+    window by their tap offsets before calling this — see
+    render_view_v3 — so a zero on the widened window stays valid for
+    the gated light/gradient taps, whose contributions vanish exactly
+    where the base sample is TF-empty).
+    """
+    d, h, w = density_shape
+    dims = (w, h, d)
+    wz, wy, wx = _norm_window(window)
+    shift = wx // 2
+    vshape = (-(-d // 8) * 8, -(-h // 8) * 8,
+              max(128, -(-w // shift) * shift + (128 - wx)))
+    tiles = layout.prepare_ray_tiles_raw(
+        view, ray_step, None, tile_w=TILE, tile_h=TILE)
+    bz, by = _brick_shape(vshape, wz, wy)
+    org = plan_windows(
+        tiles, dims, vshape, ray_step, wz, wy, bz, by, wx=wx,
+        view_dims=view.dims,
+        empty=esl_grid[0] if esl_grid is not None else None,
+        esl_block=esl_grid[1] if esl_grid is not None else None)
+    ng = org.shape[1]
+    ox, oy, oz = tiles[..., 0], tiles[..., 1], tiles[..., 2]
+    dx, dy, dz = tiles[..., 3], tiles[..., 4], tiles[..., 5]
+    k0, kfar = tiles[..., 6], tiles[..., 7]
+    alive = tiles[..., 8] > 0.0
+    j0 = tiles[..., 9]
+    ngl = org[:, 0, F_NG]
+
+    def band_count(bg):
+        B, g = bg // G, bg % G
+        o_t = org[:, B, :]                      # (T, ORG_C)
+        live = B < ngl                          # (T,)
+        bzo = o_t[:, F_BZO]
+        byo = o_t[:, F_BYO]
+        z0g = jnp.clip(o_t[:, F_Z0] + ((o_t[:, F_DZ] * g) >> 4),
+                       bzo, bzo + bz - wz)
+        y0g = jnp.clip((o_t[:, F_Y0] + ((o_t[:, F_DY] * g) >> 4)) & ~7,
+                       byo, byo + by - wy) & ~7
+        b = (o_t[:, F_B0] + g).astype(jnp.float32)[:, None]
+        kk = k0 + (b - j0) * ray_step
+        m = alive & (b >= j0) & (kk <= kfar) & live[:, None]
+        tx = jnp.clip((ox + dx * kk + 1.0) * (0.5 * w) - 0.5, 0.0, w - 1.0)
+        ty = jnp.clip((oy + dy * kk + 1.0) * (0.5 * h) - 0.5, 0.0, h - 1.0)
+        tz = jnp.clip((oz + dz * kk + 1.0) * (0.5 * d) - 0.5, 0.0, d - 1.0)
+        lz = tz - z0g[:, None].astype(jnp.float32)
+        ly = ty - y0g[:, None].astype(jnp.float32)
+        lx = tx - o_t[:, F_XO, None].astype(jnp.float32)
+        ovf = ((lz < 0.0) | (lz > wz - 1.0) | (ly < 0.0)
+               | (ly > wy - 1.0) | (lx < 0.0) | (lx > wx - 1.0))
+        return jnp.sum(jnp.where(ovf & m, 1, 0))
+
+    counts = jax.lax.map(band_count, jnp.arange(ng * G))
+    return jnp.sum(counts)
+
+
+# Candidate (wz, wy) ladder for auto_window, tightest first. Each shape
+# is a separate kernel compile (cached across calls), so the ladder is
+# deliberately short.
+AUTO_WINDOW_LADDER = (
+    (6, 16, 128), (8, 16, 128), (12, 16, 128), (16, 16, 128),
+    (16, 24, 128), (24, 32, 128), (32, 40, 128), (48, 56, 128),
+)
+
+
+def auto_window(density_shape, view, ray_step, esl_grid=None,
+                ladder=AUTO_WINDOW_LADDER):
+    """Pick the tightest overflow-free static window for a pose.
+
+    Walks ``ladder`` through :func:`planned_window_ovf` (pure XLA — no
+    kernel compiles) and returns the first window whose planned overflow
+    is zero, falling back to :func:`default_window`'s conservative
+    derivation. Call once per pose at setup (host sync per candidate);
+    the returned tuple is a static kernel parameter, so renders at a
+    given window shape share one compiled kernel.
+
+    Replaces the fudge-factor divergence model as the way to tune
+    windows: the plan replay is exact for the actual ray bundle, where
+    default_window must bound all poses at once.
+    """
+    d, h, w = density_shape
+    # The ESL block edge is a static plan parameter (it sizes the SAT
+    # box arithmetic); concretize it outside the jit.
+    empty = esl_grid[0] if esl_grid is not None else None
+    blk = int(esl_grid[1]) if esl_grid is not None else None
+
+    def _check(window, empty_g):
+        return planned_window_ovf(
+            density_shape, view, ray_step, window,
+            esl_grid=None if empty_g is None else (empty_g, blk))
+
+    check = jax.jit(_check, static_argnums=(0,))
+    pd, ph = -(-d // 8) * 8, -(-h // 8) * 8
+    seen = set()
+    for cand in ladder:
+        # Windows cannot exceed the (padded) volume extents — the brick
+        # must contain them (same clamp as default_window).
+        cand = (min(cand[0], pd), min(cand[1], ph), cand[2])
+        if cand in seen:
+            continue
+        seen.add(cand)
+        if int(check(cand, empty)) == 0:
+            return _norm_window(cand)
+    return _norm_window(
+        default_window((w, h, d), view.dims, view.perspective))
 
 
 def planned_flush_lost(scene, view, flush, window=None,

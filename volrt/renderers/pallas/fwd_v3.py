@@ -8,8 +8,11 @@ contributes nothing then, RaycasterBase.h:87-98) or gradient Blinn-Phong
 (``shading == "phong"``, BASELINE config 4); the reference's one-tap
 diffuse stays on rungs 3/4.
 
-ESL feeds the same per-ray leading-leap offsets as the other rungs; ERT is
-exact reference semantics (acca > threshold latch per ray).
+ESL is plan-time empty-group compaction (diff_v3.plan_windows) — the
+TPU-native replacement for the reference's per-ray leap loop
+(RaycasterBase.h:67-85): TF-empty march groups are deleted from the
+window plan, so empty space costs zero kernel time. ERT is exact
+reference semantics (acca > threshold latch per ray).
 """
 from __future__ import annotations
 
@@ -41,18 +44,16 @@ def render_float(
     """
     if rc.interpolation != "trilinear":
         raise ValueError("pallas-v3 renders trilinear mode only")
-    esl_fn = None
-    if rc.esl:
-        from volrt.renderers.batched import esl_start_raw
-
-        esl_fn = (lambda o, d, kn, kf, hit: esl_start_raw(
-            rc.esl_empty, rc.volume.dims, rc.esl_block_dims,
-            rc.esl_block_size, rc.ray_step, o, d, kn, kf, hit))
+    # ESL here is plan-time empty-group compaction (diff_v3.plan_windows)
+    # — zero in-kernel cost, skips interior/trailing empty space too
+    # (measured 2.5x on a sparse 256^3 scene vs the round-2 leading-leap
+    # loop, which cost more than it saved; BASELINE.md round 3).
+    esl_grid = (rc.esl_empty, rc.esl_block_dims) if rc.esl else None
     density = rc.volume.data.astype(jnp.float32) / 255.0
     img, ovf = render_view_v3(
         density, rc.transfer_fn.astype(jnp.float32), rc.ray_step,
         rc.view, ray_threshold=rc.ray_threshold, window=window,
-        fast=fast, esl_fn=esl_fn,
+        fast=fast, esl_grid=esl_grid,
         light_kd=rc.light_kd, phong=(rc.shading == "phong"),
         _vjp=False)
     return img, ovf
