@@ -115,6 +115,32 @@ class TestV3Backward:
         )
 
 
+class TestV3NoErt:
+    def test_static_threshold_matches_dynamic(self):
+        """A concrete threshold >= 1 takes the static no-ERT kernel path
+        (no early-exit sync, no gate chain); it must match the dynamic
+        threshold-carrying path bit-for-bit in images and gradients."""
+        scene, view = setup()
+        target = jnp.zeros(view.dims[::-1] + (4,), jnp.float32)
+        img_s = jax.jit(lambda s, v: render_image_v3(
+            s, v, ray_threshold=2.0))(scene, view)
+        img_d = jax.jit(lambda s, v, t: render_image_v3(
+            s, v, ray_threshold=t))(scene, view, jnp.float32(2.0))
+        np.testing.assert_array_equal(np.asarray(img_s),
+                                      np.asarray(img_d))
+
+        def loss(s, thr):
+            img = render_image_v3(s, view, ray_threshold=thr)
+            return jnp.mean((img - target) ** 2)
+
+        g_s = jax.grad(loss)(scene, 2.0)
+        g_d = jax.jit(jax.grad(loss))(scene, jnp.float32(2.0))
+        np.testing.assert_allclose(
+            np.asarray(g_s.density), np.asarray(g_d.density), atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(g_s.tf_base), np.asarray(g_d.tf_base), atol=1e-7)
+
+
 class TestV3ESL:
     def test_esl_image_identical_grads_match_reference(self):
         """Plan-time empty-group compaction leaves the image unchanged

@@ -56,8 +56,8 @@ def _v3_fits(scene, view) -> bool:
 
 
 @partial(jax.jit,
-         static_argnames=("window", "blocked", "fast", "esl", "flush",
-                          "shaded", "phong"))
+         static_argnames=("ray_threshold", "window", "blocked", "fast",
+                          "esl", "flush", "shaded", "phong"))
 def render_image_fused(
     scene: DiffScene,
     view,

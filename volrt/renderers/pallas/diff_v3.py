@@ -80,7 +80,10 @@ _BWD_ABLATE: frozenset = frozenset()
 # skip the TF lane gathers, "geom" constant sample coordinates,
 # "groupw" skip the batched compositing weights, "matmul" constant
 # gather-matmul output (isolates the MXU gather), "xreduce" skip the
-# (wx, R) x-weighted reduction (isolates the x chain's multiply+sum).
+# (wx, R) x-weighted reduction (isolates the x chain's multiply+sum),
+# "dma" skip the brick DMA entirely (stale-VMEM reads; isolates HBM
+# traffic + semaphore waits), "scalars" constant per-band window
+# origins (isolates the SMEM scalar chain).
 _FWD_ABLATE: frozenset = frozenset()
 
 # Experiment: under fast mode, cast the z/y hat strips to bf16 BEFORE the
@@ -628,6 +631,8 @@ def _light_coords(pw, scal_ref, dims):
 def _band_scalars(org, B, g, bzo, byo, bz, by, wz, wy):
     """Per-band window origin from the group's line, clamped into the
     resident brick (belt-and-braces vs fixed-point rounding)."""
+    if "scalars" in _FWD_ABLATE:
+        return bzo, byo
     z0g = org[0, B, F_Z0] + ((org[0, B, F_DZ] * g) >> 4)
     y0g = (org[0, B, F_Y0] + ((org[0, B, F_DY] * g) >> 4)) & ~7
     z0g = jnp.clip(z0g, bzo, bzo + bz - wz)
@@ -720,7 +725,7 @@ def _excl_cumsum(c):
     return x
 
 
-def _group_weights(ca, m_ana, acca, fin, thr):
+def _group_weights(ca, m_ana, acca, fin, thr, no_ert=False):
     """Batched group compositing weights (replaces the sequential
     per-band transmittance recurrence; measured ~40% of both kernels'
     VPU time as (1, R) row chains).
@@ -738,9 +743,20 @@ def _group_weights(ca, m_ana, acca, fin, thr):
 
     Returns ``(f, m, acca_out, fin_out)`` with ``m = m_ana * gate`` (the
     executed-band mask), matching the sequential semantics exactly
-    (the crossing band still contributes; later bands do not)."""
+    (the crossing band still contributes; later bands do not).
+
+    ``no_ert=True`` (static, threshold >= 1): the threshold can never be
+    crossed (acca <= 1 for premultiplied alphas), so the gate is
+    identically 1 (dead rays are already zeroed through ``m_ana``'s
+    alive factor) and ``fin`` never changes — the gate compare, the
+    finish max, and the caller's per-group ``jnp.any`` early-exit sync
+    all drop out of the hot loop."""
     q = 1.0 - ca * m_ana
     tin = (1.0 - acca) * _excl_cumprod(q)
+    if no_ert:
+        f = m_ana * tin
+        acca_out = acca + jnp.sum(ca * f, axis=0, keepdims=True)
+        return f, m_ana, acca_out, fin
     gate = ((1.0 - tin <= thr).astype(jnp.float32) * (1.0 - fin))
     m = m_ana * gate
     f = m * tin
@@ -838,7 +854,7 @@ def _fwd_kernel(
     tfl_ref, lutl_ref,
     out_ref, *rest,
     dims, ray_step, wz, wy, wx, n_phases, fast, shade=False,
-    slab=False, phong=False, save_sv=False,
+    slab=False, phong=False, save_sv=False, no_ert=False,
 ):
     # rest = [sv_ref[, sv2_ref][, gx, gy, gz]] (save_sv outputs), brick
     # scratch, sem.
@@ -869,13 +885,20 @@ def _fwd_kernel(
     vref_d = float(v0_ref.shape[0])
     ng_live = org_ref[0, 0, F_NG]
 
-    def start_brick(B, slot):
-        _brick_dma(vol_refs, brick_ref.at[slot], sem.at[slot],
-                   org_ref, B, bz, by, wx)[0]()
+    if "dma" in _FWD_ABLATE:
+        def start_brick(B, slot):
+            pass
 
-    def wait_brick(B, slot):
-        _brick_dma(vol_refs, brick_ref.at[slot], sem.at[slot],
-                   org_ref, B, bz, by, wx)[1]()
+        def wait_brick(B, slot):
+            pass
+    else:
+        def start_brick(B, slot):
+            _brick_dma(vol_refs, brick_ref.at[slot], sem.at[slot],
+                       org_ref, B, bz, by, wx)[0]()
+
+        def wait_brick(B, slot):
+            _brick_dma(vol_refs, brick_ref.at[slot], sem.at[slot],
+                       org_ref, B, bz, by, wx)[1]()
 
     @pl.when(ng_live > 0)
     def _():
@@ -1011,7 +1034,8 @@ def _fwd_kernel(
                 acca = acca + jnp.sum(ca * f, axis=0,
                                       keepdims=True) * 1e-8
             else:
-                f, m, acca, fin = _group_weights(ca, m_ana, acca, fin, thr)
+                f, m, acca, fin = _group_weights(
+                    ca, m_ana, acca, fin, thr, no_ert=no_ert)
             accr = accr + jnp.sum(cr * f, axis=0, keepdims=True)
             accg = accg + jnp.sum(cg * f, axis=0, keepdims=True)
             accb = accb + jnp.sum(cb * f, axis=0, keepdims=True)
@@ -1086,6 +1110,10 @@ def _fwd_kernel(
 
     def cond(carry):
         B, fin = carry[0], carry[5]
+        if no_ert:
+            # Threshold >= 1 can never finish a ray: skip the per-group
+            # cross-lane reduction + scalar sync of the early-exit test.
+            return B < ng_live
         return (B < ng_live) & jnp.any(alive0 * (1.0 - fin) > 0.0)
 
     z = jnp.zeros((1, R), jnp.float32)
@@ -1114,7 +1142,7 @@ def _bwd_kernel(
     *rest,
     dims, ray_step, wz, wy, wx, n_phases, fast, shade=False,
     flush_shape=None, have_sv=False, brick_shape=None, slab=False,
-    phong=False,
+    phong=False, no_ert=False,
 ):
     # rest = [sv_in(, sv2_in)(, gx, gy, gz)] (have_sv inputs), sorg,
     # dv0..dv3, dtf[, dacc0] outputs, [brick scratch, sem] (replay mode
@@ -1499,7 +1527,8 @@ def _bwd_kernel(
             cr = cr * scale_p + gate_p * spec
             cg = cg * scale_p + gate_p * spec
             cb = cb * scale_p + gate_p * spec
-        f, m, acca, fin = _group_weights(ca, m_ana, acca, fin, thr)
+        f, m, acca, fin = _group_weights(
+            ca, m_ana, acca, fin, thr, no_ert=no_ert)
         contrib = (gr * cr + ggn * cg + gb * cb + ga * ca) * f
         P_in = P + _excl_cumsum(contrib)
         P = P + jnp.sum(contrib, axis=0, keepdims=True)
@@ -1546,20 +1575,23 @@ def _bwd_kernel(
             dsval8 = dsval8 - gate_f * kd * drgb8
             dsval2_8 = gate_f * kd * drgb8
 
+        dtf_g = None
         for g in (() if "bandtail" in abl else range(G)):
             dcol = jnp.concatenate(
                 [dcr8[g:g + 1], dcg8[g:g + 1], dcb8[g:g + 1],
                  dca8[g:g + 1], jnp.zeros((4, R), jnp.float32)],
                 axis=0)                              # (8, R)
 
-            # dTF += oh @ dcol^T -> (TF_SIZE, 8); in-register per tile.
+            # dTF += oh @ dcol^T -> (TF_SIZE, 8); accumulated in
+            # registers across the group's bands, one VMEM RMW per group.
             if "dtf" not in abl:
                 oh = jnp.maximum(
                     0.0, 1.0 - jnp.abs(brow - tt8[g:g + 1, :R]))
-                dtfacc_ref[...] += jax.lax.dot_general(
+                tfc = jax.lax.dot_general(
                     oh, dcol, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=prec)
+                dtf_g = tfc if dtf_g is None else dtf_g + tfc
 
             dsval = dsval8[g:g + 1]
             if shade:
@@ -1656,10 +1688,14 @@ def _bwd_kernel(
                 # Keep dbrick live so DCE can't drop the matmul itself
                 # (cheap sink: one row, no full reduction).
                 acca = acca + dbrick[0:1, 0:1] * 1e-30
+        if dtf_g is not None:
+            dtfacc_ref[...] += dtf_g
         return (B + 1, acca, fin, P, azo, ayo, axo, aph, rzo, ryo, k, wf)
 
     def cond(carry):
         B, fin = carry[0], carry[2]
+        if no_ert:
+            return B < ng_live
         return (B < ng_live) & jnp.any(alive0 * (1.0 - fin) > 0.0)
 
     z = jnp.zeros((1, R), jnp.float32)
@@ -1733,7 +1769,7 @@ def _acc_shape(vol_shape, wz, wy):
 # test suite isolates the affected orderings (tests/test_dist.py).
 def _pallas_fwd(scal, org, rays_t, vols, tfl, *, dims, ray_step,
                 window, fast, shade=False, slab=False, phong=False,
-                save_sv=False):
+                save_sv=False, no_ert=False):
     t = rays_t.shape[0]
     ngr = org.shape[1]
     wz, wy, wx = window
@@ -1744,7 +1780,7 @@ def _pallas_fwd(scal, org, rays_t, vols, tfl, *, dims, ray_step,
     kernel = functools.partial(
         _fwd_kernel, dims=dims, ray_step=ray_step, wz=wz, wy=wy, wx=wx,
         n_phases=n_phases, fast=fast, shade=shade, slab=slab,
-        phong=phong, save_sv=save_sv)
+        phong=phong, save_sv=save_sv, no_ert=no_ert)
     out_specs = [pl.BlockSpec((1, 8, R), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((t, 8, R), jnp.float32)]
@@ -1784,7 +1820,8 @@ def _pallas_fwd(scal, org, rays_t, vols, tfl, *, dims, ray_step,
 
 def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
                 window, fast, shade=False, flush=None, sv=None,
-                sv2=None, sv_g=None, slab=False, phong=False):
+                sv2=None, sv_g=None, slab=False, phong=False,
+                no_ert=False):
     t = rays_t.shape[0]
     ngr = org.shape[1]
     wz, wy, wx = window
@@ -1802,7 +1839,7 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
     kernel = functools.partial(
         _bwd_kernel, dims=dims, ray_step=ray_step, wz=wz, wy=wy, wx=wx,
         n_phases=n_phases, fast=fast, shade=shade, have_sv=have_sv,
-        brick_shape=(bz, by), slab=slab, phong=phong)
+        brick_shape=(bz, by), slab=slab, phong=phong, no_ert=no_ert)
     vshape = v4[0].shape
     # Unused phase slots get token-sized buffers (the kernel touches only
     # dv_refs[:n_phases]) — at 512^3 full-size zeros here waste ~1.2 GB.
@@ -1893,10 +1930,10 @@ def _pack_gG(g, out):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
 def render_tiles_v3(scal, org, rays_t, vols, tfl,
                     dims, ray_step, window, fast=False, shade=False,
-                    flush=None, slab=False, phong=False):
+                    flush=None, slab=False, phong=False, no_ert=False):
     """Differentiable v3 tile render.
 
     Inputs: ``rays_t (T, C, R)`` lane-major ray tiles, ``org`` planned
@@ -1916,7 +1953,7 @@ def render_tiles_v3(scal, org, rays_t, vols, tfl,
     return _pallas_fwd(
         scal, org, rays_t, vols, tfl,
         dims=dims, ray_step=ray_step, window=window, fast=fast,
-        shade=shade, slab=slab, phong=phong)
+        shade=shade, slab=slab, phong=phong, no_ert=no_ert)
 
 
 def _sv_limit_bytes() -> int:
@@ -1933,7 +1970,7 @@ def _use_sv(t, ngr, shade, phong=False) -> bool:
 
 def _fwd_rule(scal, org, rays_t, vols, tfl, dims, ray_step, window,
               fast=False, shade=False, flush=None, slab=False,
-              phong=False):
+              phong=False, no_ert=False):
     if phong and (shade or slab):
         raise NotImplementedError(
             "phong composes with neither the diffuse tap nor slab mode")
@@ -1941,13 +1978,14 @@ def _fwd_rule(scal, org, rays_t, vols, tfl, dims, ray_step, window,
     outs = _pallas_fwd(
         scal, org, rays_t, vols, tfl,
         dims=dims, ray_step=ray_step, window=window, fast=fast,
-        shade=shade, slab=slab, phong=phong, save_sv=save_sv)
+        shade=shade, slab=slab, phong=phong, save_sv=save_sv,
+        no_ert=no_ert)
     out, svs = (outs[0], tuple(outs[1:])) if save_sv else (outs, ())
     return out, (scal, org, rays_t, vols, tfl, out, svs)
 
 
 def _bwd_rule(dims, ray_step, window, fast, shade, flush, slab, phong,
-              res, g):
+              no_ert, res, g):
     scal, org, rays_t, vols, tfl, out, svs = res
     dvs, dtf, dacc = _pallas_bwd(
         scal, org, rays_t, vols, tfl, _pack_gG(g, out),
@@ -1956,7 +1994,7 @@ def _bwd_rule(dims, ray_step, window, fast, shade, flush, slab, phong,
         sv=svs[0] if svs else None,
         sv2=svs[1] if (shade and len(svs) > 1) else None,
         sv_g=(svs[1:4] if (phong and len(svs) > 3) else None),
-        slab=slab, phong=phong)
+        slab=slab, phong=phong, no_ert=no_ert)
     drays = jnp.zeros_like(rays_t)
     if slab:
         drays = drays.at[:, CH_ACC0, :].set(dacc[:, 0, :])
@@ -2087,6 +2125,8 @@ def loss_grads_v3_chunked(scene, view, target, n_chunks,
         tgt_t = jnp.pad(tgt_t, ((0, t_pad), (0, 0), (0, 0)))
     denom = float(hv) * float(wv) * 4.0
     fl = None if flush is None else tuple(flush)
+    no_ert = (isinstance(ray_threshold, (int, float))
+              and ray_threshold >= 1.0)
 
     def chunk_loss(sc, tgt_t, t0):
         premult = jnp.concatenate(
@@ -2113,7 +2153,7 @@ def loss_grads_v3_chunked(scene, view, target, n_chunks,
             lp, jnp.zeros(3, jnp.float32)]).reshape(1, 8)
         out = render_tiles_v3(
             scal, org, rays_t, vols, tfl, dims, sc.ray_step, window,
-            fast, bool(shaded), fl, False, bool(phong))
+            fast, bool(shaded), fl, False, bool(phong), no_ert)
         tgt_c = jax.lax.dynamic_slice_in_dim(tgt_t, t0, tc, 0)
         diff = out[:, :4, :] - jnp.swapaxes(tgt_c, 1, 2)
         return jnp.sum(diff * diff) / denom
@@ -2167,6 +2207,12 @@ def render_view_v3(density, premult_tf, ray_step, view,
         jnp.asarray(ray_threshold, jnp.float32).reshape(1),
         jnp.asarray(light_kd, jnp.float32).reshape(1),
         lp, jnp.zeros(3, jnp.float32)]).reshape(1, 8)
+    # Static no-ERT fast path: a concrete threshold >= 1 can never be
+    # crossed (acca <= 1), so the kernels skip the per-group early-exit
+    # sync and gate chains. Only derivable when the threshold is a
+    # trace-time constant (the bench/training configs pass floats).
+    no_ert = (isinstance(ray_threshold, (int, float))
+              and ray_threshold >= 1.0)
 
     # Phase copies participate in autodiff: the vjp returns per-phase
     # cotangents that recombine through these XLA ops automatically.
@@ -2185,7 +2231,8 @@ def render_view_v3(density, premult_tf, ray_step, view,
         out = render_tiles_v3(
             scal, org, rays_t, vols, tfl, dims, ray_step,
             window, fast, bool(shaded) and not phong,
-            None if flush is None else tuple(flush), False, bool(phong))
+            None if flush is None else tuple(flush), False, bool(phong),
+            no_ert)
     else:
         # Forward-only rung path (renderer id 5): skip the custom_vjp
         # wrapper entirely. Identical primal; avoids tracing the vjp'd
@@ -2194,7 +2241,8 @@ def render_view_v3(density, premult_tf, ray_step, view,
         out = _pallas_fwd(
             scal, org, rays_t, vols, tfl, dims=dims, ray_step=ray_step,
             window=window, fast=fast,
-            shade=bool(shaded) and not phong, phong=bool(phong))
+            shade=bool(shaded) and not phong, phong=bool(phong),
+            no_ert=no_ert)
     colors = jnp.swapaxes(out[:, :4, :], 1, 2)    # (T, R, 4)
     img = layout.untile_rays(colors, wv, hv, tile_w=TILE, tile_h=TILE)
     return img, jnp.sum(out[:, 4, :])
