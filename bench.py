@@ -35,12 +35,13 @@ def main() -> int:
     # flush-coverage-clean via diff_v3.planned_flush_lost, which
     # bench_diff_step also re-checks at plan time; see
     # diff_v3.default_window for the general-view derivation). Round-3
-    # sweep winner after the unclipped-line fix unlocked narrow z windows
-    # (z slices have no sublane-alignment constraint): (6,16,128) at
-    # 351.7 ms vs round 2's (16,16,128) champion at 478.8 ms; flush
-    # re-sweep kept (64,16). wz 4/5 plateau at 347 ms (within noise of 6
-    # and tighter against pose drift, so 6 is kept).
-    window = (6, 16, 128) if backend != "cpu" else None
+    # progression: the unclipped-line fix unlocked narrow z ((6,16,128),
+    # 351.7 ms); wx=64 four-phase windows halved the now-exposed gather
+    # matmul (330.4 ms); the static no-ERT path (threshold 2.0 is a
+    # trace-time constant) dropped the per-group early-exit sync
+    # (303.2 ms); per-group dTF flush 298.2 ms. Parity at (6,16,64):
+    # density 6.0e-6 / TF 4.8e-6 vs XLA autodiff; plan + kernel ovf 0.
+    window = (6, 16, 64) if backend != "cpu" else None
     flush = (64, 16) if backend != "cpu" else None
     m = bench_diff_step(
         volume_size=size, viewport=viewport, iters=iters, window=window,
