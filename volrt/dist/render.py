@@ -123,6 +123,8 @@ def l2_loss_grads_v3_sharded(scene, view, target, mesh,
                     -(-dims[1] // 8) * 8),
                 window[2])
     window = _norm_window(window)
+    if len(window) == 5:
+        window = window + (0,)  # xbox opt-in only (see _view_window)
     wp, hp = layout.pad_dims(wv, hv, TILE, TILE)
     tgt = jnp.asarray(target, jnp.float32)
     tgt = jnp.pad(tgt, ((0, hp - hv), (0, wp - wv), (0, 0)))
@@ -140,7 +142,8 @@ def l2_loss_grads_v3_sharded(scene, view, target, mesh,
         vols = _phase_volumes(
             sc.density, window[2],
             storage=jnp.bfloat16 if fast else None)
-        bz, by = _brick_shape(vols[0].shape, window[0], window[1])
+        bz, by = _brick_shape(vols[0].shape, window[0], window[1],
+                              window[3:5])
         tiles = layout.prepare_ray_tiles_raw(
             view, sc.ray_step, None, tile_w=TILE, tile_h=TILE)
         tiles = _pad_tiles(tiles, n_dev)

@@ -45,6 +45,7 @@ from __future__ import annotations
 import functools
 import math
 import os
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -164,10 +165,18 @@ def default_window(dims, view_dims, perspective=False):
 
 
 def _norm_window(window):
-    """Accept (wz, wy) [x width 128] or (wz, wy, wx)."""
-    if len(window) == 2:
-        return (int(window[0]), int(window[1]), 128)
-    return (int(window[0]), int(window[1]), int(window[2]))
+    """Normalize to (wz, wy, wx, bpz, bpy). Accepts (wz, wy) [x width
+    128], (wz, wy, wx), or the full 5-tuple whose last two entries are
+    the brick drift-headroom pads (default BPAD_Z/BPAD_Y; pose-tuned
+    benches pass tighter pads, validated by the plan replay — an
+    undersized brick clamps windows into it, which
+    ``planned_window_ovf`` counts)."""
+    w = tuple(int(v) for v in window)
+    if len(w) == 2:
+        w = w + (128,)
+    if len(w) == 3:
+        w = w + (BPAD_Z, BPAD_Y)
+    return w  # optionally + (xbw,) appended by _view_window
 
 
 def n_groups_for(ray_step: float, view_dims=None) -> int:
@@ -190,10 +199,36 @@ def n_groups_for(ray_step: float, view_dims=None) -> int:
 # org field indices (int32, per tile x group). F_B0 is the group's first
 # band index — equal to ``slot * G`` without ESL, but decoupled from the
 # slot once plan-time empty-group compaction (``empty=`` below) drops
-# groups whose tap footprint is entirely TF-empty.
+# groups whose tap footprint is entirely TF-empty. F_X0L/F_DXL are the
+# per-band x-origin line (origin + fixed-point slope, like z/y): the
+# backward's gradient-scatter x box (XBOX voxels, 8-aligned) follows it
+# so the (wx, R) x-weight build shrinks to the tap footprint.
 (F_Z0, F_DZ, F_Y0, F_DY, F_XO, F_PH, F_BZO, F_BYO, F_NG,
- F_WZL, F_WZH, F_WYL, F_WYH, F_B0) = range(14)
+ F_WZL, F_WZH, F_WYL, F_WYH, F_B0, F_X0L, F_DXL) = range(16)
 ORG_C = 16  # padded field count
+
+# Backward gradient-scatter x box: must cover the per-band x footprint
+# (bounded by wz's span budget — the window derivation is isotropic in
+# max(dims)) + 8-alignment slack, the same budget wy pays for y.
+# Misses are counted in the dTF padding cell [1, 7] and by
+# planned_window_ovf(xbox=True).
+XBOX = 16  # nominal width used by the plan's x-line fit margins
+
+
+def _xbox_width(dims, view_dims, perspective, wx):
+    """Scatter-box width for a pose: the per-band x footprint (tile
+    width in world units scaled by the volume's x resolution — NOT by
+    wz, whose span tracks the z resolution on anisotropic volumes) plus
+    line-fit margin, 8-align slack, and the trilinear neighbor; rounded
+    to sublane tiles. 0 disables the box (falls back to the dense
+    (wx, R) weight build) when it wouldn't be narrower than wx."""
+    w = dims[0]
+    step_px = 3.0 / min(view_dims)
+    span = TILE * step_px * 0.5 * w + 1.0
+    if perspective:
+        span *= 2.0
+    xbw = -(-(int(math.ceil(span)) + MARGIN + 8 + 1) // 8) * 8
+    return xbw if xbw < wx else 0
 
 
 def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by,
@@ -352,6 +387,11 @@ def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by,
     org = org.at[..., F_WYL].set(wyl)
     org = org.at[..., F_WYH].set(wyh)
 
+    # Per-band x-origin line for the backward's gradient-scatter box.
+    x0l, dxl16, _ = line(xmin, Xp, XBOX, 128)
+    org = org.at[..., F_X0L].set(x0l)
+    org = org.at[..., F_DXL].set(dxl16)
+
     if empty is not None:
         # Empty-group deletion: a group survives iff any ESL block
         # intersecting its tap-footprint AABB is non-empty. One 33^3
@@ -404,7 +444,7 @@ S_NEW, S_AZO, S_AYO, S_RZO, S_RYO, S_WAIT, S_PW = range(7)
 SORG_C = 8  # padded field count
 
 
-def plan_sessions(org, vol_shape, wz, wy, fz, fy, wx):
+def plan_sessions(org, vol_shape, wz, wy, fz, fy, wx, bpad=None):
     """Precompute the backward kernel's gradient-flush session schedule.
 
     A *session* is a maximal run of groups sharing one gradient-
@@ -434,8 +474,8 @@ def plan_sessions(org, vol_shape, wz, wy, fz, fy, wx):
     """
     ng = org.shape[1]
     Dp, Hp = int(vol_shape[0]), int(vol_shape[1])
-    bz, by = _brick_shape(vol_shape, wz, wy)
-    az, ay = _acc_shape(vol_shape, wz, wy)
+    bz, by = _brick_shape(vol_shape, wz, wy, bpad)
+    az, ay = _acc_shape(vol_shape, wz, wy, bpad)
     trimmed = (fz, fy) != (az, ay)
     ngl = org[:, 0, F_NG]                       # (T,)
     bzo_a = jnp.moveaxis(org[..., F_BZO], 1, 0)  # (NG, T)
@@ -1142,7 +1182,7 @@ def _bwd_kernel(
     *rest,
     dims, ray_step, wz, wy, wx, n_phases, fast, shade=False,
     flush_shape=None, have_sv=False, brick_shape=None, slab=False,
-    phong=False, no_ert=False,
+    phong=False, no_ert=False, window=(),
 ):
     # rest = [sv_in(, sv2_in)(, gx, gy, gz)] (have_sv inputs), sorg,
     # dv0..dv3, dtf[, dacc0] outputs, [brick scratch, sem] (replay mode
@@ -1175,6 +1215,14 @@ def _bwd_kernel(
         i += 2
         bz, by = brick_ref.shape[1], brick_ref.shape[2]
     acc_ref, rmw_ref, sem_r, sem_w, dtfacc_ref = rest[i:i + 5]
+    # Gradient-scatter x box: the per-band planned x line bounds the tap
+    # footprint, so Dx is written sparsely into a zeroed (wx, R) scratch
+    # (XBOX rows) instead of building the dense hat matrix. Misses are
+    # counted (pad cell [1, 7]); shade/phong keep the dense path (their
+    # light/gradient taps have their own x coordinates).
+    xbw = window[5] if len(window) > 5 else 0
+    use_xbox = not shade and not phong and 0 < xbw < wx
+    dxs_ref = rest[i + 5] if use_xbox else None
     del dv0_in_ref, dv1_in_ref, dv2_in_ref, dv3_in_ref  # aliased
     abl = _BWD_ABLATE
     dtype = v0_ref.dtype
@@ -1194,6 +1242,10 @@ def _bwd_kernel(
         # the suffix total must count march contributions only.
         G_total = G_total - ga * acc0_row
     zrow, yrow, xrow, brow = _make_iotas(wz, wy, wx)
+    xbw_i = window[5] if len(window) > 5 else 0
+    xrow16 = (jax.lax.broadcasted_iota(
+        jnp.int32, (xbw_i, R), 0).astype(jnp.float32)
+        if 0 < xbw_i < wx else None)
     lut = tfl_ref[:]                             # (TF_SIZE, 8)
     lutl = lutl_ref[:]                           # (8, TF_SIZE) lane-major
     # Lane-major TF slope LUT: slope[i] = (tf[i+1] - tf[i]) * TF_SIZE,
@@ -1211,6 +1263,8 @@ def _bwd_kernel(
 
     dtfacc_ref[...] = jnp.zeros_like(dtfacc_ref)
     acc_ref[...] = jnp.zeros_like(acc_ref)
+    if use_xbox:
+        dxs_ref[...] = jnp.zeros_like(dxs_ref)
 
     if not have_sv:
         def start_brick(B, slot):
@@ -1292,7 +1346,8 @@ def _bwd_kernel(
             (fz, fy, 128), jnp.float32)
 
     def body(carry):
-        (B, acca, fin, P, azo, ayo, axo, aph, rzo, ryo, k, wf) = carry
+        (B, acca, fin, P, azo, ayo, axo, aph, rzo, ryo, k, wf,
+         novfx) = carry
         slot = B & 1
         if not have_sv:
             wait_brick(B, slot)
@@ -1615,8 +1670,25 @@ def _bwd_kernel(
                 wzw = jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lz))
                 wyw = jnp.maximum(0.0, 1.0 - jnp.abs(yrow - ly))
                 wmat = _expand_taps(wzw, wyw, wz, wy, jnp.float32)
-            xw = jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lx))
-            Dx = dsval * xw                          # (wx, R)
+            if use_xbox and "xbox" not in abl:
+                # Sparse Dx: write the XBOX-row footprint into the
+                # zeroed scratch, hand the full (wx, R) view to the
+                # matmul, then re-zero the box. Taps outside the
+                # planned box are dropped and counted (novfx).
+                x0b = (org_ref[0, B, F_X0L]
+                       + ((org_ref[0, B, F_DXL] * g) >> 4))
+                x0loc = pl.multiple_of(
+                    jnp.clip(x0b - xo, 0, wx - xbw) & ~7, 8)
+                lxl = lx - x0loc.astype(jnp.float32)
+                novfx = novfx + jnp.where(
+                    ((lxl < 0.0) | (lxl > xbw - 1.0)) & (m[g:g + 1] > 0),
+                    1.0, 0.0)
+                xw16 = jnp.maximum(0.0, 1.0 - jnp.abs(xrow16 - lxl))
+                dxs_ref[pl.ds(x0loc, xbw), :] = dsval * xw16
+                Dx = dxs_ref[:, :]                   # (wx, R)
+            else:
+                xw = jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lx))
+                Dx = dsval * xw                      # (wx, R)
             if phong:
                 # gx's x-difference weights share the base (z, y) tap
                 # matrix, so that scatter folds into the same matmul.
@@ -1688,9 +1760,15 @@ def _bwd_kernel(
                 # Keep dbrick live so DCE can't drop the matmul itself
                 # (cheap sink: one row, no full reduction).
                 acca = acca + dbrick[0:1, 0:1] * 1e-30
+            if use_xbox and "xbox" not in abl:
+                # Restore the scratch's all-zero invariant for the next
+                # band (the store above is the only nonzero box).
+                dxs_ref[pl.ds(x0loc, xbw), :] = jnp.zeros(
+                    (xbw, R), jnp.float32)
         if dtf_g is not None:
             dtfacc_ref[...] += dtf_g
-        return (B + 1, acca, fin, P, azo, ayo, axo, aph, rzo, ryo, k, wf)
+        return (B + 1, acca, fin, P, azo, ayo, axo, aph, rzo, ryo,
+                k, wf, novfx)
 
     def cond(carry):
         B, fin = carry[0], carry[2]
@@ -1706,7 +1784,7 @@ def _bwd_kernel(
     ) if slab else (1.0 - alive0)
     res = jax.lax.while_loop(
         cond, body, (0, acca0, fin0, z, zi, zi, zi, zi, zi, zi,
-                     jnp.int32(-1), zi))
+                     jnp.int32(-1), zi, z))
     B_exit = res[0]
     azo, ayo, axo, aph = res[4], res[5], res[6], res[7]
     rzo, ryo, k, wf = res[8], res[9], res[10], res[11]
@@ -1740,17 +1818,29 @@ def _bwd_kernel(
         dr_ref[0] = jnp.concatenate(
             [dacc0, jnp.zeros((7, R), jnp.float32)], axis=0)
 
+    if use_xbox:
+        # Surface the gradient-scatter x-box miss count through the
+        # (autodiff-stripped) dTF padding cell [1, 7] — the runtime
+        # detector matching planned_window_ovf(xbox=True)'s plan check.
+        novfx_t = res[12]
+        cell = ((jax.lax.broadcasted_iota(jnp.int32, tuple(
+            dtfacc_ref.shape), 0) == 1)
+            & (jax.lax.broadcasted_iota(jnp.int32, tuple(
+                dtfacc_ref.shape), 1) == 7)).astype(jnp.float32)
+        dtfacc_ref[...] += cell * jnp.sum(novfx_t)
+
     dtf_ref[...] += dtfacc_ref[...]
 
 
-def _brick_shape(vol_shape, wz, wy):
-    bz = min(vol_shape[0], wz + BPAD_Z)
-    by = min(vol_shape[1], -(-(wy + BPAD_Y) // 8) * 8)
+def _brick_shape(vol_shape, wz, wy, bpad=None):
+    bpz, bpy = bpad if bpad else (BPAD_Z, BPAD_Y)
+    bz = min(vol_shape[0], wz + bpz)
+    by = min(vol_shape[1], -(-(wy + bpy) // 8) * 8)
     return bz, by
 
 
-def _acc_shape(vol_shape, wz, wy):
-    bz, by = _brick_shape(vol_shape, wz, wy)
+def _acc_shape(vol_shape, wz, wy, bpad=None):
+    bz, by = _brick_shape(vol_shape, wz, wy, bpad)
     az = min(vol_shape[0], bz + APAD_Z)
     ay = min(vol_shape[1], -(-(by + APAD_Y) // 8) * 8)
     return az, ay
@@ -1772,10 +1862,10 @@ def _pallas_fwd(scal, org, rays_t, vols, tfl, *, dims, ray_step,
                 save_sv=False, no_ert=False):
     t = rays_t.shape[0]
     ngr = org.shape[1]
-    wz, wy, wx = window
+    wz, wy, wx = window[:3]
     n_phases = len(vols)
     v4 = list(vols) + [vols[0]] * (4 - n_phases)
-    bz, by = _brick_shape(v4[0].shape, wz, wy)
+    bz, by = _brick_shape(v4[0].shape, wz, wy, window[3:5])
     lutl = jnp.pad(tfl[:, :4].T, ((0, 4), (0, 0)))  # (8, TF_SIZE)
     kernel = functools.partial(
         _fwd_kernel, dims=dims, ray_step=ray_step, wz=wz, wy=wy, wx=wx,
@@ -1824,11 +1914,11 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
                 no_ert=False):
     t = rays_t.shape[0]
     ngr = org.shape[1]
-    wz, wy, wx = window
+    wz, wy, wx = window[:3]
     n_phases = len(vols)
     v4 = list(vols) + [vols[0]] * (4 - n_phases)
-    bz, by = _brick_shape(v4[0].shape, wz, wy)
-    az, ay = _acc_shape(v4[0].shape, wz, wy)
+    bz, by = _brick_shape(v4[0].shape, wz, wy, window[3:5])
+    az, ay = _acc_shape(v4[0].shape, wz, wy, window[3:5])
     if flush is None:
         fz, fy = az, ay
     else:
@@ -1839,7 +1929,8 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
     kernel = functools.partial(
         _bwd_kernel, dims=dims, ray_step=ray_step, wz=wz, wy=wy, wx=wx,
         n_phases=n_phases, fast=fast, shade=shade, have_sv=have_sv,
-        brick_shape=(bz, by), slab=slab, phong=phong, no_ert=no_ert)
+        brick_shape=(bz, by), slab=slab, phong=phong, no_ert=no_ert,
+        window=window)
     vshape = v4[0].shape
     # Unused phase slots get token-sized buffers (the kernel touches only
     # dv_refs[:n_phases]) — at 512^3 full-size zeros here waste ~1.2 GB.
@@ -1875,7 +1966,8 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
         pl.BlockSpec((1, ngr, SORG_C), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
     ]
-    sorg, lost_t = plan_sessions(org, v4[0].shape, wz, wy, fz, fy, wx)
+    sorg, lost_t = plan_sessions(org, v4[0].shape, wz, wy, fz, fy, wx,
+                                 bpad=window[3:5])
     out_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
@@ -1908,7 +2000,10 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM(tfl.shape, jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((wx, R), jnp.float32)]
+             if (not shade and not phong
+                 and 0 < (window[5] if len(window) > 5 else 0) < wx)
+             else []),
         input_output_aliases={10: 0, 11: 1, 12: 2, 13: 3},
         interpret=interpret_mode(),
     )(scal, org, rays_t, *v4, tfl, lutl, gG, *dv_inits, *sv_ins, sorg)
@@ -2046,23 +2141,23 @@ def _phase_volumes(density, wx, storage=None):
 def render_image_v3(scene, view, ray_threshold=0.95,
                     window=None, fast=False, esl=False,
                     light_kd=0.0, shaded=False, flush=None,
-                    phong=False):
+                    phong=False, plan=None):
     """Differentiable render -> ``f32[H, W, 4]`` via the v3 kernels.
 
     Semantics match diff.render.render_diff_image (including ``esl``,
     the ``shaded`` diffuse light tap, and gradient Blinn-Phong via
     ``phong=True``); gradients flow to ``scene.density`` and
-    ``scene.tf_base``.
+    ``scene.tf_base``. ``plan``: a precomputed :class:`ViewPlan`.
     """
     return render_image_v3_with_ovf(
         scene, view, ray_threshold, window, fast, esl,
-        light_kd, shaded, flush, phong)[0]
+        light_kd, shaded, flush, phong, plan)[0]
 
 
 def render_image_v3_with_ovf(scene, view, ray_threshold=0.95,
                              window=None, fast=False, esl=False,
                              light_kd=0.0, shaded=False, flush=None,
-                             phong=False):
+                             phong=False, plan=None):
     """As render_image_v3 but also returns the total overflow count."""
     esl_grid = None
     if esl:
@@ -2080,13 +2175,13 @@ def render_image_v3_with_ovf(scene, view, ray_threshold=0.95,
         scene.density, premult, scene.ray_step, view,
         ray_threshold=ray_threshold, window=window, fast=fast,
         esl_grid=esl_grid, light_kd=light_kd, shaded=shaded, flush=flush,
-        phong=phong)
+        phong=phong, plan=plan)
 
 
 def loss_grads_v3_chunked(scene, view, target, n_chunks,
                           ray_threshold=0.95, window=None, fast=False,
                           flush=None, light_kd=0.0, shaded=False,
-                          phong=False):
+                          phong=False, plan=None):
     """Full-image MSE loss + scene gradients, accumulated over ray-tile
     chunks -> ``(loss, grads)`` (grads a DiffScene-shaped pytree).
 
@@ -2103,16 +2198,7 @@ def loss_grads_v3_chunked(scene, view, target, n_chunks,
     d, h, w = scene.density.shape
     dims = (w, h, d)
     wv, hv = view.dims
-    if window is None:
-        window = default_window(dims, view.dims, view.perspective)
-        if shaded or phong:
-            off = (int(0.01 * 0.5 * max(dims)) + 2) if shaded else 2
-            window = (
-                min(window[0] + off, -(-dims[2] // 8) * 8),
-                min(-(-(window[1] + off) // 8) * 8,
-                    -(-dims[1] // 8) * 8),
-                window[2])
-    window = _norm_window(window)
+    window = _view_window(dims, view, window, shaded, phong)
     wp, hp = layout.pad_dims(wv, hv, TILE, TILE)
     tgt = jnp.asarray(target, jnp.float32)
     tgt = jnp.pad(tgt, ((0, hp - hv), (0, wp - wv), (0, 0)))
@@ -2136,16 +2222,28 @@ def loss_grads_v3_chunked(scene, view, target, n_chunks,
         vols = _phase_volumes(
             sc.density, window[2],
             storage=jnp.bfloat16 if fast else None)
-        tiles = layout.prepare_ray_tiles_raw(
-            view, sc.ray_step, None, tile_w=TILE, tile_h=TILE)
-        if t_pad:
-            tiles = jnp.pad(tiles, ((0, t_pad), (0, 0), (0, 0)))
-        tiles_c = jax.lax.dynamic_slice_in_dim(tiles, t0, tc, 0)
-        rays_t = jnp.swapaxes(tiles_c, 1, 2)
-        bz, by = _brick_shape(vols[0].shape, window[0], window[1])
-        org = plan_windows(
-            tiles_c, dims, vols[0].shape, sc.ray_step, window[0],
-            window[1], bz, by, wx=window[2], view_dims=view.dims)
+        if plan is None:
+            tiles = layout.prepare_ray_tiles_raw(
+                view, sc.ray_step, None, tile_w=TILE, tile_h=TILE)
+            if t_pad:
+                tiles = jnp.pad(tiles, ((0, t_pad), (0, 0), (0, 0)))
+            tiles_c = jax.lax.dynamic_slice_in_dim(tiles, t0, tc, 0)
+            rays_t = jnp.swapaxes(tiles_c, 1, 2)
+            bz, by = _brick_shape(vols[0].shape, window[0], window[1],
+                                  window[3:5])
+            org = plan_windows(
+                tiles_c, dims, vols[0].shape, sc.ray_step, window[0],
+                window[1], bz, by, wx=window[2], view_dims=view.dims)
+        else:
+            # Precomputed full-image ViewPlan: slice the chunk's rows.
+            # Padding tiles are all-zero (F_NG = 0 -> the kernel's group
+            # loop never runs; alive0 = 0 -> dead rays).
+            org_f, rays_f = plan.org, plan.rays_t
+            if t_pad:
+                org_f = jnp.pad(org_f, ((0, t_pad), (0, 0), (0, 0)))
+                rays_f = jnp.pad(rays_f, ((0, t_pad), (0, 0), (0, 0)))
+            org = jax.lax.dynamic_slice_in_dim(org_f, t0, tc, 0)
+            rays_t = jax.lax.dynamic_slice_in_dim(rays_f, t0, tc, 0)
         lp = view.light_pos.astype(jnp.float32).reshape(3)
         scal = jnp.concatenate([
             jnp.asarray(ray_threshold, jnp.float32).reshape(1),
@@ -2169,23 +2267,9 @@ def loss_grads_v3_chunked(scene, view, target, n_chunks,
     return jax.lax.fori_loop(0, n_chunks, body, init)
 
 
-def render_view_v3(density, premult_tf, ray_step, view,
-                   ray_threshold=0.95, window=None, fast=False,
-                   esl_fn=None, light_kd=0.0, shaded=False,
-                   phong=False, flush=None, esl_grid=None, _vjp=True):
-    """Premult-level v3 render -> (f32[H, W, 4], overflow count).
-
-    ``density`` is the float grid (D, H, W); ``premult_tf`` the
-    premultiplied RGBA LUT (TF_SIZE, 4). Used by the scene-level diff API
-    and the forward renderer-ladder rung (which has a uint8 Raycaster
-    instead of a DiffScene). Differentiable w.r.t. density/premult_tf.
-    ``esl_grid=(empty_bool_grid, block_voxels)`` enables plan-time
-    empty-group compaction (see :func:`plan_windows`); ``esl_fn`` is the
-    legacy per-ray leading-leap hook (still honored; both may combine).
-    """
-    d, h, w = density.shape
-    dims = (w, h, d)
-    wv, hv = view.dims
+def _view_window(dims, view, window, shaded, phong):
+    """Resolve the static window for a view (shared by the render path
+    and :func:`prepare_view_plan` — they must agree exactly)."""
     if window is None:
         window = default_window(dims, view.dims, view.perspective)
         if shaded or phong:
@@ -2199,9 +2283,83 @@ def render_view_v3(density, premult_tf, ray_step, view,
                     -(-dims[1] // 8) * 8),
                 window[2])
     window = _norm_window(window)
+    if len(window) == 5:
+        # Gradient-scatter x box: OFF by default (hardware-measured
+        # regression at wx=64 — 250.3 vs 243.5 ms on the headline: the
+        # scratch store/load round-trip costs more than the dense
+        # (wx, R) weight build it replaces once wx is 64). Opt in by
+        # passing a 6-element window whose last entry is the box width
+        # (e.g. from _xbox_width); validate with
+        # planned_window_ovf(xbox=True) or the dTF pad cell [1, 7].
+        window = window + (0,)
+    return window
+
+
+def _padded_vshape(density_shape, wx):
+    """Shape of the x-phase HBM copies without materializing them
+    (mirrors :func:`_phase_volumes`)."""
+    d, h, w = density_shape
+    shift = wx // 2
+    return (-(-d // 8) * 8, -(-h // 8) * 8,
+            max(128, -(-w // shift) * shift + (128 - wx)))
+
+
+class ViewPlan(NamedTuple):
+    """Precomputed per-view render plan: the planned window-origin table
+    and the lane-major ray tiles. Both depend only on (view geometry,
+    ray_step, window, ESL grid) — NOT on the density values or TF — so a
+    fixed-camera training loop computes each view's plan once and reuses
+    it every step (the TPU analog of the reference's per-frame
+    ``RaycasterBase::set_view`` snapshot, VolR.cpp:107, amortized). The
+    per-call XLA plan prologue is ~10-14 ms at 1024^2, i.e. ~5% of a
+    fwd+bwd step. Pass the SAME window/ray_step to the render call."""
+    org: jax.Array     # (T, NG, ORG_C) int32
+    rays_t: jax.Array  # (T, C, R) float32
+
+
+def prepare_view_plan(density_shape, view, ray_step, window=None,
+                      shaded=False, phong=False, esl_grid=None,
+                      esl_fn=None):
+    """Build a reusable :class:`ViewPlan` for ``render_view_v3`` /
+    ``render_image_v3`` / the fused scene API. With ``esl_grid`` the
+    plan embeds empty-group compaction, so it must be re-prepared when
+    the TF's empty set changes (see ``plan_windows``)."""
+    d, h, w = density_shape
+    dims = (w, h, d)
+    window = _view_window(dims, view, window, shaded, phong)
     tiles = layout.prepare_ray_tiles_raw(
         view, ray_step, esl_fn, tile_w=TILE, tile_h=TILE)
-    rays_t = jnp.swapaxes(tiles, 1, 2)  # (T, C, R)
+    vshape = _padded_vshape(density_shape, window[2])
+    bz, by = _brick_shape(vshape, window[0], window[1], window[3:5])
+    org = plan_windows(
+        tiles, dims, vshape, ray_step, window[0], window[1],
+        bz, by, wx=window[2], view_dims=view.dims,
+        empty=esl_grid[0] if esl_grid is not None else None,
+        esl_block=esl_grid[1] if esl_grid is not None else None)
+    return ViewPlan(org, jnp.swapaxes(tiles, 1, 2))
+
+
+def render_view_v3(density, premult_tf, ray_step, view,
+                   ray_threshold=0.95, window=None, fast=False,
+                   esl_fn=None, light_kd=0.0, shaded=False,
+                   phong=False, flush=None, esl_grid=None, _vjp=True,
+                   plan=None):
+    """Premult-level v3 render -> (f32[H, W, 4], overflow count).
+
+    ``density`` is the float grid (D, H, W); ``premult_tf`` the
+    premultiplied RGBA LUT (TF_SIZE, 4). Used by the scene-level diff API
+    and the forward renderer-ladder rung (which has a uint8 Raycaster
+    instead of a DiffScene). Differentiable w.r.t. density/premult_tf.
+    ``esl_grid=(empty_bool_grid, block_voxels)`` enables plan-time
+    empty-group compaction (see :func:`plan_windows`); ``esl_fn`` is the
+    legacy per-ray leading-leap hook (still honored; both may combine).
+    ``plan``: a :class:`ViewPlan` from :func:`prepare_view_plan` (same
+    window/ray_step/esl settings) — skips the per-call plan prologue.
+    """
+    d, h, w = density.shape
+    dims = (w, h, d)
+    wv, hv = view.dims
+    window = _view_window(dims, view, window, shaded, phong)
     lp = view.light_pos.astype(jnp.float32).reshape(3)
     scal = jnp.concatenate([
         jnp.asarray(ray_threshold, jnp.float32).reshape(1),
@@ -2219,12 +2377,19 @@ def render_view_v3(density, premult_tf, ray_step, view,
     vols = _phase_volumes(
         density, window[2],
         storage=jnp.bfloat16 if fast else None)
-    bz, by = _brick_shape(vols[0].shape, window[0], window[1])
-    org = plan_windows(
-        tiles, dims, vols[0].shape, ray_step, window[0], window[1],
-        bz, by, wx=window[2], view_dims=view.dims,
-        empty=esl_grid[0] if esl_grid is not None else None,
-        esl_block=esl_grid[1] if esl_grid is not None else None)
+    if plan is None:
+        tiles = layout.prepare_ray_tiles_raw(
+            view, ray_step, esl_fn, tile_w=TILE, tile_h=TILE)
+        rays_t = jnp.swapaxes(tiles, 1, 2)  # (T, C, R)
+        bz, by = _brick_shape(vols[0].shape, window[0], window[1],
+                              window[3:5])
+        org = plan_windows(
+            tiles, dims, vols[0].shape, ray_step, window[0], window[1],
+            bz, by, wx=window[2], view_dims=view.dims,
+            empty=esl_grid[0] if esl_grid is not None else None,
+            esl_block=esl_grid[1] if esl_grid is not None else None)
+    else:
+        org, rays_t = plan.org, plan.rays_t
     tfl = jnp.pad(premult_tf, ((0, 0), (0, 4)))
 
     if _vjp:
@@ -2278,6 +2443,8 @@ def render_slab_v3(slab_density, premult_tf, ray_step, view,
         window = default_window(
             (w, h, sdl), view.dims, view.perspective)
     window = _norm_window(window)
+    if len(window) == 5:
+        window = window + (0,)  # xbox opt-in only (see _view_window)
 
     origins, directions = _padded_rays(view)
     o = origins.reshape(-1, 3)
@@ -2312,7 +2479,8 @@ def render_slab_v3(slab_density, premult_tf, ray_step, view,
     vols = _phase_volumes(
         slab_density, window[2],
         storage=jnp.bfloat16 if fast else None)
-    bz, by = _brick_shape(vols[0].shape, window[0], window[1])
+    bz, by = _brick_shape(vols[0].shape, window[0], window[1],
+                          window[3:5])
     org = plan_windows(
         tiles, dims, vols[0].shape, ray_step, window[0], window[1],
         bz, by, wx=window[2], view_dims=view.dims, z_off=z_off)
@@ -2372,7 +2540,7 @@ def _pack_tiles(o, dvec, k0, kfar, alive, acc0, view, ray_step):
 
 
 def planned_window_ovf(density_shape, view, ray_step, window,
-                       esl_grid=None):
+                       esl_grid=None, xbox=False):
     """Exact plan-time count of base-tap window overflows for a pose.
 
     Replays the kernel's per-band window arithmetic (origin line,
@@ -2392,13 +2560,16 @@ def planned_window_ovf(density_shape, view, ray_step, window,
     """
     d, h, w = density_shape
     dims = (w, h, d)
-    wz, wy, wx = _norm_window(window)
+    win = _norm_window(window)
+    wz, wy, wx = win[:3]
+    xbw_replay = (win[5] if len(win) > 5
+                  else _xbox_width(dims, view.dims, view.perspective, wx))
     shift = wx // 2
     vshape = (-(-d // 8) * 8, -(-h // 8) * 8,
               max(128, -(-w // shift) * shift + (128 - wx)))
     tiles = layout.prepare_ray_tiles_raw(
         view, ray_step, None, tile_w=TILE, tile_h=TILE)
-    bz, by = _brick_shape(vshape, wz, wy)
+    bz, by = _brick_shape(vshape, wz, wy, win[3:5])
     org = plan_windows(
         tiles, dims, vshape, ray_step, wz, wy, bz, by, wx=wx,
         view_dims=view.dims,
@@ -2433,6 +2604,15 @@ def planned_window_ovf(density_shape, view, ray_step, window,
         lx = tx - o_t[:, F_XO, None].astype(jnp.float32)
         ovf = ((lz < 0.0) | (lz > wz - 1.0) | (ly < 0.0)
                | (ly > wy - 1.0) | (lx < 0.0) | (lx > wx - 1.0))
+        if xbox and xbw_replay:
+            # Replay the backward's gradient-scatter x box (see
+            # _bwd_kernel use_xbox / the dTF pad cell [1, 7]): a miss
+            # drops that sample's density-gradient contribution.
+            x0b = o_t[:, F_X0L] + ((o_t[:, F_DXL] * g) >> 4)
+            x0loc = jnp.clip(
+                x0b - o_t[:, F_XO], 0, wx - xbw_replay) & ~7
+            lxl = lx - x0loc[:, None].astype(jnp.float32)
+            ovf = ovf | (lxl < 0.0) | (lxl > xbw_replay - 1.0)
         return jnp.sum(jnp.where(ovf & m, 1, 0))
 
     counts = jax.lax.map(band_count, jnp.arange(ng * G))
@@ -2443,6 +2623,7 @@ def planned_window_ovf(density_shape, view, ray_step, window,
 # is a separate kernel compile (cached across calls), so the ladder is
 # deliberately short.
 AUTO_WINDOW_LADDER = (
+    (4, 16, 64), (6, 16, 64),
     (6, 16, 128), (8, 16, 128), (12, 16, 128), (16, 16, 128),
     (16, 24, 128), (24, 32, 128), (32, 40, 128), (48, 56, 128),
 )
@@ -2521,7 +2702,8 @@ def planned_flush_lost(scene, view, flush, window=None,
                 min(-(-(window[1] + off) // 8) * 8,
                     -(-dims[1] // 8) * 8),
                 window[2])
-    wz, wy, wx = _norm_window(window)
+    win = _norm_window(window)
+    wz, wy, wx = win[:3]
     # Padded phase-volume shape without materializing the copies
     # (mirrors _phase_volumes).
     shift = wx // 2
@@ -2529,10 +2711,11 @@ def planned_flush_lost(scene, view, flush, window=None,
               max(128, -(-w // shift) * shift + (128 - wx)))
     tiles = layout.prepare_ray_tiles_raw(
         view, scene.ray_step, None, tile_w=TILE, tile_h=TILE)
-    bz, by = _brick_shape(vshape, wz, wy)
+    bz, by = _brick_shape(vshape, wz, wy, win[3:5])
     org = plan_windows(
         tiles, dims, vshape, scene.ray_step, wz, wy, bz, by, wx=wx,
         view_dims=view.dims)
     fz, fy = int(flush[0]), int(flush[1])
-    _, lost_t = plan_sessions(org, vshape, wz, wy, fz, fy, wx)
+    _, lost_t = plan_sessions(org, vshape, wz, wy, fz, fy, wx,
+                              bpad=win[3:5])
     return jnp.sum(lost_t)

@@ -32,13 +32,15 @@ def l2_loss(scene: DiffScene, view: View, target: jax.Array) -> jax.Array:
 
 
 def l2_loss_fused(scene: DiffScene, view: View,
-                  target: jax.Array) -> jax.Array:
+                  target: jax.Array, plan=None) -> jax.Array:
     """L2 loss through the fused Pallas forward/backward kernels — the
     single-chip TPU fast path (~100x the XLA scan+remat reference at
-    256^3/1024^2; see BASELINE.md)."""
+    256^3/1024^2; see BASELINE.md). ``plan``: a precomputed
+    diff_v3.ViewPlan for this view (plan-once/render-many — fit()
+    prepares one per camera and skips the per-step plan prologue)."""
     from volrt.diff import fused
 
-    return fused.l2_loss_fused(scene, view, target, fast=True)
+    return fused.l2_loss_fused(scene, view, target, fast=True, plan=plan)
 
 
 def make_optimizer(lr: float = 1e-2) -> optax.GradientTransformation:
@@ -98,12 +100,14 @@ def make_train_step(
         )
         return TrainState(scene, opt_state, state.step + 1), loss
 
-    def step(state: TrainState, view: View, target: jax.Array):
+    def step(state: TrainState, view: View, target: jax.Array,
+             plan=None):
+        extra = () if plan is None else (plan,)
         if loss_grads_fn is not None:
-            loss, grads = loss_grads_fn(state.scene, view, target)
+            loss, grads = loss_grads_fn(state.scene, view, target, *extra)
         else:
             loss, grads = jax.value_and_grad(loss_fn)(
-                state.scene, view, target)
+                state.scene, view, target, *extra)
         return apply_update(state, grads, loss)
 
     if two_dispatch or (mesh is None and jax.default_backend() == "cpu"):
@@ -119,12 +123,14 @@ def make_train_step(
             raise ValueError("two_dispatch requires loss_grads_fn")
         jup = jax.jit(apply_update)
 
-        def two_phase_step(state, view, target):
+        def two_phase_step(state, view, target, plan=None):
+            extra = () if plan is None else (plan,)
             if loss_grads_fn is not None:
-                loss, grads = loss_grads_fn(state.scene, view, target)
+                loss, grads = loss_grads_fn(state.scene, view, target,
+                                            *extra)
             else:
                 loss, grads = jax.value_and_grad(loss_fn)(
-                    state.scene, view, target)
+                    state.scene, view, target, *extra)
             return jup(state, grads, loss)
 
         return two_phase_step
@@ -139,10 +145,10 @@ def make_train_step(
     rows = NamedSharding(mesh, P(RAY_AXIS))
     repl = NamedSharding(mesh, P())
 
-    def sharded_step(state, view, target):
+    def sharded_step(state, view, target, plan=None):
         if constrain_target_rows:
             target = jax.lax.with_sharding_constraint(target, rows)
-        return step(state, view, target)
+        return step(state, view, target, plan)
 
     # Prefix pytree: replicate every leaf of the state and the scalar loss.
     return jax.jit(sharded_step, out_shardings=(repl, repl))
@@ -209,10 +215,10 @@ def fit(
             if fused:
                 from volrt.diff import fused as fused_mod
 
-                def loss_fn(scene, view, target):
+                def loss_fn(scene, view, target, plan=None):
                     return fused_mod.l2_loss_fused(
                         scene, view, target, fast=True, phong=True,
-                        light_kd=light_kd)
+                        light_kd=light_kd, plan=plan)
             else:
                 def loss_fn(scene, view, target):
                     img = render_diff_image(
@@ -222,10 +228,10 @@ def fit(
             if fused:
                 from volrt.diff import fused as fused_mod
 
-                def loss_fn(scene, view, target):
+                def loss_fn(scene, view, target, plan=None):
                     return fused_mod.l2_loss_fused(
                         scene, view, target, fast=True, shaded=True,
-                        light_kd=light_kd)
+                        light_kd=light_kd, plan=plan)
             else:
                 def loss_fn(scene, view, target):
                     img = render_diff_image(
@@ -319,10 +325,28 @@ def fit(
             logger.log(
                 f"resumed from {checkpoint_path} at step {int(state.step)}")
     losses = []
+    # Plan-once/render-many: each camera's window-origin plan depends
+    # only on view geometry, so prepare it once and reuse every step
+    # (diff_v3.ViewPlan; ~5% of a fused fwd+bwd step at 1024^2). ESL
+    # plans embed the live TF's empty set and mesh/volume-sharded paths
+    # shard their own tiles — those keep the in-step plan.
+    plans = [None] * len(views_and_targets)
+    if (fused and mesh is None and not esl and not volume_sharded
+            and not (grad_chunks and grad_chunks > 1)):
+        from volrt.renderers.pallas.diff_v3 import prepare_view_plan
+
+        pv = jax.jit(prepare_view_plan,
+                     static_argnums=(0, 2, 3, 4, 5))
+        plans = [
+            pv(scene.density.shape, v, float(scene.ray_step), None,
+               shading == "diffuse", shading == "phong")
+            for v, _ in views_and_targets
+        ]
     start = int(state.step)
     for i in range(start, steps):
-        view, target = views_and_targets[i % len(views_and_targets)]
-        state, loss = train_step(state, view, target)
+        j = i % len(views_and_targets)
+        view, target = views_and_targets[j]
+        state, loss = train_step(state, view, target, plans[j])
         losses.append(float(loss))
         if log_every and (i % log_every == 0):
             msg = f"fit step {i}: loss {losses[-1]:.6f}"
