@@ -1638,7 +1638,13 @@ def _bwd_kernel(
                 axis=0)                              # (8, R)
 
             # dTF += oh @ dcol^T -> (TF_SIZE, 8); accumulated in
-            # registers across the group's bands, one VMEM RMW per group.
+            # registers across the group's bands, one VMEM RMW per
+            # group. (Measured dead end: splitting the hat into an
+            # integer-equality one-hot with the 2-tap weights folded
+            # into dcol — [i==lo]*(1-fr) + shift([i==lo]*fr) — costs
+            # 288.9 vs 243.9 ms despite bit-identical weights: the
+            # second matmul + second register accumulator exceed the
+            # 4-pass hat build they replace.)
             if "dtf" not in abl:
                 oh = jnp.maximum(
                     0.0, 1.0 - jnp.abs(brow - tt8[g:g + 1, :R]))
