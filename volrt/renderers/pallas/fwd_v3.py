@@ -4,9 +4,10 @@ The renderer-ladder rung built on the v3 kernel generation (see diff_v3's
 module docstring): same trilinear + linearly-interpolated-TF semantics as
 rung 4 (reference: GPURenderer4.cu:53-87), at ~5x rung-4 throughput.
 Shading modes: unshaded (``light_kd == 0`` — the reference's shade()
-contributes nothing then, RaycasterBase.h:87-98) or gradient Blinn-Phong
-(``shading == "phong"``, BASELINE config 4); the reference's one-tap
-diffuse stays on rungs 3/4.
+contributes nothing then, RaycasterBase.h:87-98), the reference's one-tap
+diffuse (``shading == "diffuse"`` — the second trilinear tap offset toward
+the light, GPURenderer4.cu:41-51), or gradient Blinn-Phong
+(``shading == "phong"``, BASELINE config 4).
 
 ESL is plan-time empty-group compaction (diff_v3.plan_windows) — the
 TPU-native replacement for the reference's per-ray leap loop
@@ -38,9 +39,12 @@ def render_float(
 
     ``rc.shading == "phong"`` applies gradient Blinn-Phong (central-
     difference normals from shifted tap weights — BASELINE config 4's
-    shading at kernel speed); the reference one-tap diffuse is not
-    implemented here (use rungs 3/4), so with ``shading == "diffuse"``
-    this rung is valid when ``light_kd == 0``.
+    shading at kernel speed); ``rc.shading == "diffuse"`` (the ladder
+    default) applies the reference's one-tap diffuse — the second
+    trilinear tap offset 0.01 toward the light
+    (reference: GPURenderer4.cu:41-51, RaycasterBase.h:87-98) — via the
+    kernel's shade path (the same one the fused training backward
+    differentiates through).
     """
     if rc.interpolation != "trilinear":
         raise ValueError("pallas-v3 renders trilinear mode only")
@@ -50,11 +54,13 @@ def render_float(
     # loop, which cost more than it saved; BASELINE.md round 3).
     esl_grid = (rc.esl_empty, rc.esl_block_dims) if rc.esl else None
     density = rc.volume.data.astype(jnp.float32) / 255.0
+    shaded = rc.shading == "diffuse" and float(rc.light_kd) != 0.0
     img, ovf = render_view_v3(
         density, rc.transfer_fn.astype(jnp.float32), rc.ray_step,
         rc.view, ray_threshold=rc.ray_threshold, window=window,
         fast=fast, esl_grid=esl_grid,
-        light_kd=rc.light_kd, phong=(rc.shading == "phong"),
+        light_kd=rc.light_kd, shaded=shaded,
+        phong=(rc.shading == "phong"),
         _vjp=False)
     return img, ovf
 
