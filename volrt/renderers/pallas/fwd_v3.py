@@ -54,7 +54,10 @@ def render_float(
     # loop, which cost more than it saved; BASELINE.md round 3).
     esl_grid = (rc.esl_empty, rc.esl_block_dims) if rc.esl else None
     density = rc.volume.data.astype(jnp.float32) / 255.0
-    shaded = rc.shading == "diffuse" and float(rc.light_kd) != 0.0
+    # No concrete kd check here: light_kd is a traced leaf, and the kernel
+    # already zeroes the tap at runtime when kd <= SHADE_KD_GATE (matching
+    # the reference's `raycaster.light_kd > 0.01f` gate, GPURenderer4.cu:78).
+    shaded = rc.shading == "diffuse"
     img, ovf = render_view_v3(
         density, rc.transfer_fn.astype(jnp.float32), rc.ray_step,
         rc.view, ray_threshold=rc.ray_threshold, window=window,
