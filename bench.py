@@ -47,11 +47,23 @@ def main() -> int:
     m = bench_diff_step(
         volume_size=size, viewport=viewport, iters=iters, window=window,
         flush=flush)
+    # Forward-only companion run at the same config: the forward bound
+    # the fwd+bwd step chases, with its own MFU (SURVEY §5 roofline
+    # accounting; model = the windowed one-hot gather matmul march).
+    from volrt.bench.harness import bench_fwd_step
+
+    f = bench_fwd_step(
+        volume_size=size, viewport=viewport, iters=iters, window=window)
     print(json.dumps({
         "metric": "diff_fwd_bwd_ray_steps_per_s",
         "value": m["ray_steps_per_s"],
         "unit": "rays*steps/s",
         "vs_baseline": m["ray_steps_per_s"] / BASELINE_RAY_STEPS_PER_S,
+        "ms": m["ms"],
+        "mfu": m.get("mfu", 0.0),
+        "fwd_ms": f["ms"],
+        "fwd_ray_steps_per_s": f["ray_steps_per_s"],
+        "fwd_mfu": f["mfu"],
     }))
     return 0
 

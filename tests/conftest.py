@@ -27,17 +27,27 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 BUCKY_PATH = "/root/reference/VolumeRendering/Bucky.pvm"
+# In-repo DDS-compressed 32^3 asset (written by volrt's own
+# write_pvm(dds=True); content = synthetic_volume(32)) so every
+# loader/golden/CLI integration test exercises the full DDS decode path
+# even without the reference checkout.
+ASSET_PATH = os.path.join(
+    os.path.dirname(__file__), "assets", "shell32.pvm")
 
 
 @pytest.fixture(scope="session")
-def bucky():
-    """The reference repo's bundled 32^3 Bucky volume (integration asset),
-    or a synthetic stand-in when unavailable."""
+def pvm_path():
+    """A real DDS-compressed 32^3 PVM file: the reference's Bucky when
+    present, else the committed in-repo asset."""
+    return BUCKY_PATH if os.path.exists(BUCKY_PATH) else ASSET_PATH
+
+
+@pytest.fixture(scope="session")
+def bucky(pvm_path):
+    """A 32^3 uint8 volume loaded through the full PVM/DDS decode path."""
     from volrt.io.pvm import read_pvm
 
-    if os.path.exists(BUCKY_PATH):
-        return read_pvm(BUCKY_PATH).data
-    return synthetic_volume(32)
+    return read_pvm(pvm_path).data
 
 
 def synthetic_volume(n: int, seed: int = 0) -> np.ndarray:

@@ -51,6 +51,43 @@ class TestShardedRender:
         b, _ = render_float_sharded(rc, mesh, renderer="pallas-trilinear")
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
+    def test_v3_matches_unsharded(self):
+        """The flagship rung shard_map'ed over ray tiles == the
+        single-device rung-5 render (diffuse shade path included), so a
+        distributed render runs the same fast kernels as training."""
+        from volrt.dist.render import render_float_sharded
+        from volrt.renderers.pallas import fwd_v3
+
+        cam = Camera(dims=(32, 64))  # 8 tiles over 8 devices
+        cam.set_camera_position((30.0, 20.0, 0.0))
+        rc = make_raycaster(
+            Volume.from_numpy(synthetic_volume(16)),
+            view=cam.view(),
+            interpolation="trilinear",
+        )
+        mesh = make_mesh()
+        a, ovf_a = fwd_v3.render_float(rc)
+        b, ovf_b = render_float_sharded(rc, mesh, renderer="pallas-v3")
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6)
+        assert float(ovf_a) == float(ovf_b)
+
+    def test_v3_esl_matches_unsharded(self):
+        from volrt.dist.render import render_float_sharded
+        from volrt.renderers.pallas import fwd_v3
+
+        rc = make_raycaster(
+            Volume.from_numpy(synthetic_volume(16)),
+            view=Camera(dims=(32, 64)).view(),
+            interpolation="trilinear",
+            esl=True,
+        )
+        mesh = make_mesh()
+        a, _ = fwd_v3.render_float(rc)
+        b, _ = render_float_sharded(rc, mesh, renderer="pallas-v3")
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6)
+
 
 @needs_devices
 class TestShardedTraining:
@@ -318,6 +355,92 @@ class TestShardedFusedTraining:
             np.testing.assert_allclose(
                 np.asarray(g_sh.tf_base), np.asarray(g_ref.tf_base),
                 atol=1e-6)
+
+    def test_fused_loss_grads_with_plan_match(self):
+        """A precomputed ViewPlan (plan-once/render-many) gives the
+        sharded step identical loss+grads to in-step planning — the
+        BASELINE-config-5 step no longer re-runs the plan prologue."""
+        from volrt.dist.render import l2_loss_grads_v3_sharded
+        from volrt.renderers.pallas.diff_v3 import prepare_view_plan
+
+        scene = scene_from_volume(
+            jnp.asarray(synthetic_volume(16)), default_transfer_fn(), 0.12
+        )
+        cam = Camera(dims=(32, 64))
+        cam.set_camera_position((30.0, 20.0, 0.0))
+        view = cam.view()
+        target = jnp.zeros((64, 32, 4), jnp.float32)
+        mesh = make_mesh()
+        l_ref, g_ref = l2_loss_grads_v3_sharded(
+            scene, view, target, mesh, fast=False)
+        plan = prepare_view_plan(
+            scene.density.shape, view, float(scene.ray_step))
+        l_p, g_p = l2_loss_grads_v3_sharded(
+            scene, view, target, mesh, fast=False, plan=plan)
+        np.testing.assert_allclose(float(l_p), float(l_ref), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g_p.density), np.asarray(g_ref.density),
+            atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(g_p.tf_base), np.asarray(g_ref.tf_base),
+            atol=1e-7)
+
+    def test_fused_loss_grads_esl_match_single_device(self):
+        """Mesh-sharded fused training with plan-time ESL compaction
+        equals the single-device fused esl path."""
+        from volrt.diff.fused import l2_loss_fused
+        from volrt.dist.render import l2_loss_grads_v3_sharded
+
+        scene = scene_from_volume(
+            jnp.asarray(synthetic_volume(16)), default_transfer_fn(), 0.12
+        )
+        cam = Camera(dims=(32, 64))
+        cam.set_camera_position((30.0, 20.0, 0.0))
+        view = cam.view()
+        target = jnp.zeros((64, 32, 4), jnp.float32)
+        mesh = make_mesh()
+
+        def loss_single(s):
+            return l2_loss_fused(s, view, target, fast=False, esl=True)
+
+        l_ref, g_ref = jax.value_and_grad(loss_single)(scene)
+        l_sh, g_sh = l2_loss_grads_v3_sharded(
+            scene, view, target, mesh, fast=False, esl=True)
+        np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g_sh.density), np.asarray(g_ref.density),
+            atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g_sh.tf_base), np.asarray(g_ref.tf_base),
+            atol=1e-6)
+
+    def test_chunked_esl_matches_full(self):
+        """Chunked gradient accumulation with esl=True == the unchunked
+        fused esl loss+grads (the 512^3-scale path keeps ESL)."""
+        from volrt.diff.fused import l2_loss_fused
+        from volrt.renderers.pallas.diff_v3 import loss_grads_v3_chunked
+
+        scene = scene_from_volume(
+            jnp.asarray(synthetic_volume(16)), default_transfer_fn(), 0.12
+        )
+        cam = Camera(dims=(32, 64))
+        cam.set_camera_position((30.0, 20.0, 0.0))
+        view = cam.view()
+        target = jnp.zeros((64, 32, 4), jnp.float32)
+
+        def loss_single(s):
+            return l2_loss_fused(s, view, target, fast=False, esl=True)
+
+        l_ref, g_ref = jax.value_and_grad(loss_single)(scene)
+        l_c, g_c = loss_grads_v3_chunked(
+            scene, view, target, 2, fast=False, esl=True)
+        np.testing.assert_allclose(float(l_c), float(l_ref), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g_c.density), np.asarray(g_ref.density),
+            atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g_c.tf_base), np.asarray(g_ref.tf_base),
+            atol=1e-6)
 
     def test_fit_volume_sharded_trains(self):
         """End-to-end Z-slab-sharded training: loss decreases with the

@@ -43,6 +43,7 @@ class BenchConfig:
     ray_step_factor: float = 1.0
     interpolation: str = "trilinear"
     light_kd: float = 0.6
+    shading: str = "diffuse"  # "diffuse" (reference one-tap) | "phong"
     file: str | None = None  # PVM/RAW dataset (reference: VolR.cpp:255-268)
 
 
@@ -83,6 +84,12 @@ def default_suite(small: bool = False,
     cfgs.append(BenchConfig(
         "noshade_128" if not small else "noshade_64",
         volume_size=64 if small else 128, light_kd=0.0))
+    # BASELINE config 4: gradient Blinn-Phong + ESL (rung 5's phong path;
+    # the reference's nearest analog is the diffuse tap every rung takes).
+    cfgs.append(BenchConfig(
+        "phong_esl_64" if small else "phong_esl_256",
+        volume_size=64 if small else 256,
+        viewport=256 if small else 512, shading="phong"))
     # Optimization toggles on one dataset (reference configs 8-10).
     base = 64 if small else 128
     cfgs.append(BenchConfig("no_optim", base, esl=False, ert=False))
@@ -116,6 +123,7 @@ def make_raycaster_for(cfg: BenchConfig, volume: Volume | None = None,
         esl=cfg.esl,
         light_kd=cfg.light_kd,
         interpolation=cfg.interpolation,
+        shading=cfg.shading,
     )
 
 
@@ -130,8 +138,8 @@ def renderer_fns(rc: Raycaster, renderers: list[int]):
             continue
         if rid in (3, 4, 5) and rc.interpolation != "trilinear":
             continue
-        if rid == 5 and float(rc.light_kd) != 0.0:
-            continue  # pallas-v3 is the unshaded flagship rung
+        if rid != 5 and rc.shading == "phong":
+            continue  # gradient Blinn-Phong is a rung-5 capability
         if rid in (3, 4, 5):
             fn = lambda rc=rc, mod=mod: mod.render_float(rc)[0]
         else:
@@ -140,9 +148,40 @@ def renderer_fns(rc: Raycaster, renderers: list[int]):
     return out
 
 
+def _nominal_mfu(cfg: BenchConfig, rc: Raycaster, rid: int,
+                 avg_ms: float) -> float | None:
+    """Nominal-march MFU for the windowed gather-matmul rungs (3/4/5):
+    model FLOPs of a full march (every ray, ~2/ray_step steps, one
+    (rows x x_width) one-hot MXU gather per sample) against chip peak.
+    ERT/ESL make real work smaller, so this reads conservative on
+    early-terminating scenes — same convention as the headline metric.
+    None for the non-windowed rungs (no matmul model applies)."""
+    from volrt.utils import profiler as prof_mod
+
+    if rid not in (3, 4, 5) or avg_ms <= 0.0:
+        return None
+    if rid == 5:
+        from volrt.renderers.pallas.diff_v3 import (
+            _norm_window, default_window)
+
+        win = _norm_window(default_window(
+            rc.volume.dims, rc.view.dims, bool(rc.view.perspective)))
+        rows, x_width = win[0] * win[1], win[2]
+    else:
+        from volrt.renderers import get_renderer
+
+        wz, wy = get_renderer(rid).default_window(rc)
+        rows, x_width = wz * wy, 128
+    n_rays = int(rc.view.dims[0]) * int(rc.view.dims[1])
+    n_steps = int(2.0 / float(rc.ray_step))
+    flops = prof_mod.windowed_kernel_flops(n_rays, n_steps, rows, x_width)
+    u = prof_mod.mfu(avg_ms, flops, fast=False)
+    return u if u > 0.0 else None
+
+
 def run_suite(
     configs: list[BenchConfig] | None = None,
-    renderers: list[int] = (1, 2, 3, 4),
+    renderers: list[int] = (0, 1, 2, 3, 4, 5),
     frames: int = 8,
     warmup: int = 1,
     profiler: Profiler | None = None,
@@ -153,7 +192,9 @@ def run_suite(
 
     Each (config, renderer) renders ``frames`` samples over the 8 reference
     camera poses; configs whose first frame exceeds the reference's 7.5 s
-    timeout are skipped for that renderer (reference: VolR.cpp:237).
+    timeout are skipped for that renderer (reference: VolR.cpp:237). The
+    scalar golden rung (0) runs only on light configs — the reference's
+    CPU-renderer skip for heavy configs (reference: VolR.cpp:228-230).
     ``trace_dir`` captures a ``jax.profiler`` trace of the timed frames
     (one directory per run; view with TensorBoard/XProf).
     """
@@ -181,6 +222,12 @@ def run_suite(
                 poses.append(camera.view())
 
         for rid in renderers:
+            if rid == 0 and (cfg.volume_size > 64 or cfg.viewport > 256
+                             or cfg.file):
+                # The vmapped per-ray golden rung is the CPURenderer
+                # analog; the reference skips it on heavy configs
+                # (reference: VolR.cpp:228-230).
+                continue
             rc0 = make_raycaster_for(cfg, volume, camera)
             fns = renderer_fns(rc0, [rid])
             if not fns:
@@ -225,6 +272,10 @@ def run_suite(
                         break
             if timed_out:
                 continue
+            u = _nominal_mfu(
+                cfg, rc0, rid, prof.stats[cfg.name][name].avg_ms)
+            if u is not None:
+                prof.note(cfg.name, name, mfu=u)
         log(f"bench config {cfg.name} done")
     return prof
 
@@ -294,6 +345,22 @@ def run_diff_suite(
             if ms > MAX_BENCH_SAMPLE_MS:
                 timed_out = True
                 break
+        if fused and not timed_out:
+            # Roofline column (SURVEY §5's Profiler-equivalent): model
+            # FLOPs of the nominal fwd+bwd march vs chip peak.
+            from volrt.renderers.pallas.diff_v3 import (
+                _norm_window, default_window)
+            from volrt.utils import profiler as prof_mod
+
+            win = _norm_window(default_window(
+                (n, n, n), view.dims, bool(view.perspective)))
+            flops = prof_mod.windowed_kernel_flops(
+                viewport * viewport, int(2.0 / float(scene.ray_step)),
+                win[0] * win[1], win[2], backward=True)
+            u = prof_mod.mfu(
+                prof.stats[cfg][name].avg_ms, flops, fast=True)
+            if u > 0.0:
+                prof.note(cfg, name, mfu=u)
         log(f"bench config {cfg} done"
             + (" (timed out)" if timed_out else ""))
     return prof
@@ -412,11 +479,104 @@ def bench_diff_step(
 
     n_rays = viewport * viewport
     n_steps = int(2.0 / ray_step)  # in-cube steps per ray (full march)
-    return {
+    out = {
         "ms": dt * 1e3,
         "rays_per_s": n_rays / dt,
         "ray_steps_per_s": n_rays * n_steps / dt,
         "loss": float(loss),
+    }
+    if fused:
+        # MFU of the fwd+bwd step: model FLOPs = the windowed one-hot
+        # gather matmul per sample (x3 for the backward's replay +
+        # transposed dBrick matmul) vs chip bf16 peak (fast=True path).
+        from volrt.renderers.pallas.diff_v3 import _view_window
+        from volrt.utils import profiler as prof_mod
+
+        win = _view_window(dims, view, window, False, False)
+        flops = prof_mod.windowed_kernel_flops(
+            n_rays, n_steps, win[0] * win[1], win[2], backward=True)
+        out["model_flops"] = flops
+        out["mfu"] = prof_mod.mfu(out["ms"], flops, fast=True)
+    return out
+
+
+def bench_fwd_step(
+    volume_size: int = 256,
+    viewport: int = 1024,
+    ray_step: float | None = None,
+    iters: int = 10,
+    window: tuple[int, int] | None = None,
+    shading: str | None = None,
+    esl: bool = False,
+) -> dict:
+    """Benchmark one forward render through the v3 flagship kernel under
+    the headline accounting (full-cube viewport, no ERT): rays*steps/s
+    and MFU for the forward bound the fwd+bwd step is chasing.
+    ``shading``: None (unshaded), "diffuse", or "phong" — the latter is
+    BASELINE config 4 when combined with ``esl=True``."""
+    from volrt.core.tf import default_transfer_fn
+    from volrt.core.types import default_ray_step
+    from volrt.diff.render import scene_from_volume
+    from volrt.renderers.pallas.diff_v3 import (
+        _view_window, prepare_view_plan, render_image_v3_with_ovf)
+    from volrt.utils import profiler as prof_mod
+
+    vol = synthetic_volume(volume_size)
+    dims = (volume_size,) * 3
+    if ray_step is None:
+        ray_step = default_ray_step(dims)
+    scene = scene_from_volume(
+        jnp.asarray(vol), default_transfer_fn(), ray_step)
+    cam = Camera(dims=(viewport, viewport))
+    cam.zoom(-1.0)
+    view = cam.view()
+    shaded = shading == "diffuse"
+    phong = shading == "phong"
+    esl_grid = None
+    if esl:
+        from volrt.diff.render import scene_empty_grid
+
+        empty, block, _ = scene_empty_grid(scene)
+        esl_grid = (jax.device_get(empty), int(block))
+    if esl_grid is None:
+        plan = jax.jit(
+            prepare_view_plan, static_argnums=(0, 2, 3, 4, 5))(
+                scene.density.shape, view, float(ray_step),
+                None if window is None else tuple(window), shaded, phong)
+    else:
+        # ESL plans embed the TF's empty-group compaction; the block
+        # edge is a static plan parameter, so build unjitted (once).
+        plan = prepare_view_plan(
+            scene.density.shape, view, float(ray_step),
+            None if window is None else tuple(window), shaded, phong,
+            esl_grid)
+
+    fn = jax.jit(lambda s: render_image_v3_with_ovf(
+        s, view, ray_threshold=2.0, window=window, fast=True,
+        light_kd=(0.6 if (shaded or phong) else 0.0),
+        shaded=shaded, phong=phong, plan=plan))
+
+    img, ovf = fn(scene)
+    float(jax.device_get(jnp.sum(img)))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        img, ovf = fn(scene)
+    float(jax.device_get(jnp.sum(img)))
+    dt = (time.perf_counter() - t0) / iters
+
+    n_rays = viewport * viewport
+    n_steps = int(2.0 / ray_step)
+    win = _view_window(dims, view, window, shaded, phong)
+    flops = prof_mod.windowed_kernel_flops(
+        n_rays, n_steps, win[0] * win[1], win[2])
+    ms = dt * 1e3
+    return {
+        "ms": ms,
+        "rays_per_s": n_rays / dt,
+        "ray_steps_per_s": n_rays * n_steps / dt,
+        "model_flops": flops,
+        "mfu": prof_mod.mfu(ms, flops, fast=True),
+        "overflow": float(jax.device_get(ovf)),
     }
 
 

@@ -104,9 +104,13 @@ def _make_rc(args, camera=None):
 
 def _render_frame(mod, rc, log, strict, window=None):
     """Render one frame; surface the window-overflow counter for the
-    windowed kernels (rungs 3/4): a nonzero count means some trilinear taps
+    windowed kernels (rungs 3-5): a nonzero count means some trilinear taps
     fell outside the static window and contributed zero (the documented
-    approximation) — warn, and fail under ``--strict-overflow``.
+    approximation). Rung 5 auto-widens: on nonzero overflow it re-plans the
+    pose through ``auto_window`` starting at the next ladder rung and
+    re-renders, so clean poses pay nothing and grazing poses (the 45-degree
+    orbits) become exact instead of warned-about. Other windowed rungs
+    warn; ``--strict-overflow`` fails on any residual overflow.
     Frames that exhaust HBM are retried in row bands (the
     ``cuda_safe_malloc`` soft-OOM analog, reference: cuda_utils.h:43-49).
     ``window`` (rung 5 only) overrides the kernel's static sampling
@@ -118,15 +122,38 @@ def _render_frame(mod, rc, log, strict, window=None):
         import inspect
 
         takes_window = (
-            window is not None
-            and "window" in inspect.signature(mod.render_float).parameters)
+            "window" in inspect.signature(mod.render_float).parameters)
 
-        def one(sub_rc):
+        def one(sub_rc, window=window):
             out = (mod.render_float(sub_rc, window=tuple(window))
-                   if takes_window else mod.render_float(sub_rc))
+                   if takes_window and window is not None
+                   else mod.render_float(sub_rc))
             return out if isinstance(out, tuple) else (out, 0.0)
 
         fimg, n = render_with_oom_fallback(one, rc, log=log)
+        if n > 0 and mod.NAME == "pallas-v3":
+            # Auto-widen: pick the tightest overflow-free window for this
+            # pose from the pure-XLA plan replay (no kernel run) and
+            # re-render. The reference renderer never drops a sample
+            # (GPURenderer4.cu:75-85 samples unconditionally), so neither
+            # should the flagship rung.
+            from volrt.renderers.pallas.diff_v3 import (
+                AUTO_WINDOW_LADDER, auto_window)
+
+            ladder = (tuple(w for w in AUTO_WINDOW_LADDER
+                            if w[0] * w[1] * w[2] > (window[0] * window[1]
+                                                     * window[2]))
+                      if window is not None else AUTO_WINDOW_LADDER)
+            wide = auto_window(
+                rc.volume.data.shape, rc.view, float(rc.ray_step),
+                esl_grid=((rc.esl_empty, rc.esl_block_dims)
+                          if rc.esl else None),
+                ladder=ladder or AUTO_WINDOW_LADDER)
+            log.log(
+                "%d overflowed taps; auto-widening window to %s and "
+                "re-rendering", int(n), tuple(wide))
+            fimg, n = render_with_oom_fallback(
+                lambda sub_rc: one(sub_rc, window=wide), rc, log=log)
         if n > 0:
             log.log(
                 "WARNING: %d sample taps fell outside the static "
@@ -247,10 +274,12 @@ def cmd_bench(args) -> int:
     log.log(prof.print_avg())
     log.log(prof.print_max())
     log.log(prof.print_samples())
+    log.log(prof.print_mfu())
     if args.output:
         with open(args.output, "w") as f:
             f.write(prof.print_avg() + "\n\n" + prof.print_max()
-                    + "\n\n" + prof.print_samples() + "\n")
+                    + "\n\n" + prof.print_samples()
+                    + "\n\n" + prof.print_mfu() + "\n")
     return 0
 
 
@@ -401,7 +430,11 @@ def main(argv=None) -> int:
     p.add_argument("-f", "--files", nargs="*", default=None,
                    help="PVM/RAW dataset files to bench (reference loads "
                    "seven named PVM datasets)")
-    p.add_argument("--renderers", type=int, nargs="+", default=[1, 2, 3, 4])
+    p.add_argument("--renderers", type=int, nargs="+",
+                   default=[0, 1, 2, 3, 4, 5],
+                   help="ladder rungs to sweep (the reference loops every "
+                   "renderer per config, VolR.cpp:225-248; the golden "
+                   "rung 0 auto-skips heavy configs)")
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--small", action="store_true")
     p.add_argument("--trace-dir", default=None,

@@ -38,9 +38,13 @@ def render_float_sharded(
 ) -> tuple[jax.Array, jax.Array]:
     """Render with ray tiles sharded over ``mesh``; returns (image, overflow).
 
-    ``renderer``: ``"pallas-trilinear"`` or ``"pallas-blocked"``.
+    ``renderer``: ``"pallas-trilinear"``, ``"pallas-blocked"``, or
+    ``"pallas-v3"`` (the flagship rung — a distributed render then runs
+    the same kernels as the single-chip fast path).
     """
     del shade
+    if renderer == "pallas-v3":
+        return _render_float_sharded_v3(rc, mesh, window)
     if renderer == "pallas-trilinear":
         from volrt.renderers.pallas import trilinear as mod
         from volrt.renderers.pallas.common import pad_volume_3d as pad_vol
@@ -83,6 +87,70 @@ def render_float_sharded(
     return layout.untile_rays(out[:t], w, h), jnp.sum(ovf[:t, 0, 0])
 
 
+def _render_float_sharded_v3(rc: Raycaster, mesh: Mesh, window):
+    """Rung-5 (pallas-v3) forward with ray tiles shard_map'ed over
+    ``mesh`` — the distributed render of BASELINE config 5 on the fast
+    kernels. The pure-XLA plan prologue (``plan_windows``) runs outside
+    the shard_map (XLA partitions it over the sharded tile axis
+    automatically); only the Pallas kernel needs manual sharding.
+    Matches the unsharded rung-5 render exactly (per-tile compute is
+    tile-local). Supports ``rc.shading`` diffuse/phong and plan-time ESL
+    compaction like the single-chip rung."""
+    from volrt.renderers.pallas.diff_v3 import (
+        TILE, _brick_shape, _pallas_fwd, _phase_volumes, _view_window,
+        plan_windows)
+
+    if rc.interpolation != "trilinear":
+        raise ValueError("pallas-v3 renders trilinear mode only")
+    density = rc.volume.data.astype(jnp.float32) / 255.0
+    d, h, w_ = density.shape
+    dims = (w_, h, d)
+    view = rc.view
+    wv, hv = view.dims
+    shaded = rc.shading == "diffuse"
+    phong = rc.shading == "phong"
+    window = _view_window(dims, view, window, shaded, phong)
+    vols = _phase_volumes(density, window[2])
+    tiles = layout.prepare_ray_tiles_raw(
+        view, rc.ray_step, None, tile_w=TILE, tile_h=TILE)
+    t = tiles.shape[0]
+    n_dev = mesh.devices.size
+    tiles = _pad_tiles(tiles, n_dev)
+    bz, by = _brick_shape(vols[0].shape, window[0], window[1],
+                          window[3:5])
+    esl_grid = (rc.esl_empty, rc.esl_block_dims) if rc.esl else None
+    org = plan_windows(
+        tiles, dims, vols[0].shape, rc.ray_step, window[0], window[1],
+        bz, by, wx=window[2], view_dims=view.dims,
+        empty=esl_grid[0] if esl_grid is not None else None,
+        esl_block=esl_grid[1] if esl_grid is not None else None)
+    rays_t = jnp.swapaxes(tiles, 1, 2)
+    lp = view.light_pos.astype(jnp.float32).reshape(3)
+    scal = jnp.concatenate([
+        jnp.asarray(rc.ray_threshold, jnp.float32).reshape(1),
+        jnp.asarray(rc.light_kd, jnp.float32).reshape(1),
+        lp, jnp.zeros(3, jnp.float32)]).reshape(1, 8)
+    tfl = jnp.pad(rc.transfer_fn.astype(jnp.float32), ((0, 0), (0, 4)))
+
+    def shard_fn(scal, org_l, rays_l, tfl, *vols_l):
+        return _pallas_fwd(
+            scal, org_l, rays_l, tuple(vols_l), tfl, dims=dims,
+            ray_step=rc.ray_step, window=window, fast=False,
+            shade=shaded and not phong, phong=phong)
+
+    out = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(),
+                  *([P()] * len(vols))),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,
+    )(scal, org, rays_t, tfl, *vols)
+    colors = jnp.swapaxes(out[:t, :4, :], 1, 2)
+    img = layout.untile_rays(colors, wv, hv, tile_w=TILE, tile_h=TILE)
+    return img, jnp.sum(out[:t, 4, :])
+
+
 def render_sharded(rc: Raycaster, mesh: Mesh, **kw) -> jax.Array:
     img, _ = render_float_sharded(rc, mesh, **kw)
     return sampling.write_color(img)
@@ -91,7 +159,8 @@ def render_sharded(rc: Raycaster, mesh: Mesh, **kw) -> jax.Array:
 def l2_loss_grads_v3_sharded(scene, view, target, mesh,
                              ray_threshold=0.95, fast=True,
                              window=None, flush=None,
-                             shading=None, light_kd=0.6):
+                             shading=None, light_kd=0.6,
+                             plan=None, esl=False):
     """MSE loss + scene gradients with ray tiles shard_map'ed over
     ``mesh`` through the v3 fused differentiable kernels.
 
@@ -101,30 +170,28 @@ def l2_loss_grads_v3_sharded(scene, view, target, mesh,
     the replicated operands' cotangents over ICI automatically. Loss and
     gradients match the single-device fused path exactly (the loss is
     additive over tiles).
+
+    ``plan``: a precomputed diff_v3.ViewPlan for this view
+    (plan-once/render-many — skips the per-step XLA plan prologue, same
+    as the single-chip path; the sharded org/ray tables shard over the
+    tile axis like the target). ``esl=True`` re-derives the TF's
+    empty-group compaction from the live scene each step and plans with
+    it (mutually exclusive with ``plan``, which would embed a stale
+    empty set).
     """
     from volrt.renderers.pallas.diff_v3 import (
-        G, TILE, _norm_window, _phase_volumes, _brick_shape,
-        default_window, plan_windows, render_tiles_v3)
+        TILE, _phase_volumes, _brick_shape, _view_window, plan_windows,
+        render_tiles_v3)
 
     d, h, w = scene.density.shape
     dims = (w, h, d)
     wv, hv = view.dims
     shaded = shading == "diffuse"
     phong = shading == "phong"
-    if window is None:
-        window = default_window(dims, view.dims, view.perspective)
-        if shaded or phong:
-            # Light-tap / gradient-tap footprint widening (matches
-            # diff_v3.render_view_v3's shaded default).
-            off = (int(0.01 * 0.5 * max(dims)) + 2) if shaded else 2
-            window = (
-                min(window[0] + off, -(-dims[2] // 8) * 8),
-                min(-(-(window[1] + off) // 8) * 8,
-                    -(-dims[1] // 8) * 8),
-                window[2])
-    window = _norm_window(window)
-    if len(window) == 5:
-        window = window + (0,)  # xbox opt-in only (see _view_window)
+    # Shared resolver (light-tap/gradient-tap widening + xbox opt-out)
+    # keeps this path and prepare_view_plan in exact agreement, so a
+    # precomputed plan's org table matches the kernel's static window.
+    window = _view_window(dims, view, window, shaded, phong)
     wp, hp = layout.pad_dims(wv, hv, TILE, TILE)
     tgt = jnp.asarray(target, jnp.float32)
     tgt = jnp.pad(tgt, ((0, hp - hv), (0, wp - wv), (0, 0)))
@@ -134,6 +201,11 @@ def l2_loss_grads_v3_sharded(scene, view, target, mesh,
     denom = float(hv) * float(wv) * 4.0
     fl = None if flush is None else tuple(flush)
 
+    if plan is not None and esl:
+        raise ValueError(
+            "plan embeds a fixed empty set; use esl=True without a plan "
+            "(re-planned per step) or bake esl_grid into the plan")
+
     def loss_fn(sc):
         premult = jnp.concatenate(
             [sc.tf_base[:, :3] * sc.tf_base[:, 3:4],
@@ -142,11 +214,6 @@ def l2_loss_grads_v3_sharded(scene, view, target, mesh,
         vols = _phase_volumes(
             sc.density, window[2],
             storage=jnp.bfloat16 if fast else None)
-        bz, by = _brick_shape(vols[0].shape, window[0], window[1],
-                              window[3:5])
-        tiles = layout.prepare_ray_tiles_raw(
-            view, sc.ray_step, None, tile_w=TILE, tile_h=TILE)
-        tiles = _pad_tiles(tiles, n_dev)
         lp = view.light_pos.astype(jnp.float32).reshape(3)
         scal = jnp.concatenate([
             jnp.asarray(ray_threshold, jnp.float32).reshape(1),
@@ -155,12 +222,28 @@ def l2_loss_grads_v3_sharded(scene, view, target, mesh,
                 jnp.float32).reshape(1),
             lp, jnp.zeros(3, jnp.float32)]).reshape(1, 8)
 
-        # Window planning is pure XLA — partitioned automatically outside
-        # the shard_map (only the Pallas kernel needs manual sharding).
-        org = plan_windows(
-            tiles, dims, vols[0].shape, sc.ray_step, window[0],
-            window[1], bz, by, wx=window[2], view_dims=view.dims)
-        rays_t = jnp.swapaxes(tiles, 1, 2)
+        if plan is not None:
+            org = _pad_tiles(plan.org, n_dev)
+            rays_t = _pad_tiles(plan.rays_t, n_dev)
+        else:
+            bz, by = _brick_shape(vols[0].shape, window[0], window[1],
+                                  window[3:5])
+            tiles = layout.prepare_ray_tiles_raw(
+                view, sc.ray_step, None, tile_w=TILE, tile_h=TILE)
+            tiles = _pad_tiles(tiles, n_dev)
+            empty = esl_block = None
+            if esl:
+                from volrt.diff.render import scene_empty_grid
+
+                empty, esl_block, _ = scene_empty_grid(sc)
+            # Window planning is pure XLA — partitioned automatically
+            # outside the shard_map (only the Pallas kernel needs manual
+            # sharding).
+            org = plan_windows(
+                tiles, dims, vols[0].shape, sc.ray_step, window[0],
+                window[1], bz, by, wx=window[2], view_dims=view.dims,
+                empty=empty, esl_block=esl_block)
+            rays_t = jnp.swapaxes(tiles, 1, 2)
 
         def shard_fn(scal, org_l, rays_l, tgt_l, tfl, *vols):
             out = render_tiles_v3(

@@ -226,6 +226,129 @@ def read_dds(path: str) -> bytes | None:
 
 
 # ---------------------------------------------------------------------------
+# DDS bitstream encode (new capability: the reference only decodes;
+# format derived from the decoder above, reference: ddsbase.cpp:187-245)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    """Sequential MSB-first bit writer (inverse of :class:`_BitReader`)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        if bits == 0:
+            return
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.buf.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+def _dds_code_for_width(width: int) -> int:
+    """Inverse of :func:`_dds_width_code` (widths 1 is unrepresentable:
+    the 3-bit code space maps to {0, 2, 3, .., 8})."""
+    return width - 1 if width >= 2 else 0
+
+
+def _signed_deltas(data: np.ndarray, strip: int) -> np.ndarray:
+    """Per-byte prediction residuals of the DDS strip predictor, mapped
+    into signed [-128, 127] (mod-256 arithmetic matches
+    :func:`_reconstruct`'s accumulator exactly)."""
+    d = data.astype(np.int64)
+    n = d.shape[0]
+    deltas = np.empty(n, np.int64)
+    deltas[0] = d[0]
+    if strip == 1:
+        # strip == 1 is the plain first-order accumulator throughout
+        # (reference: ddsbase.cpp:213-235 `strip == 1 || cnt <= strip`).
+        deltas[1:] = d[1:] - d[:-1]
+    else:
+        k = min(strip, n - 1)
+        deltas[1:k + 1] = d[1:k + 1] - d[:k]
+        if n > strip + 1:
+            deltas[strip + 1:] = (d[strip + 1:] - d[strip:n - 1]
+                                  - d[1:n - strip] + d[:n - strip - 1])
+    return ((deltas + 128) % 256) - 128
+
+
+def _width_for(lo: int, hi: int) -> int:
+    """Smallest representable residual width covering [lo, hi]
+    (stored value = residual + 2^(w-1), so w fits residuals in
+    [-2^(w-1), 2^(w-1) - 1])."""
+    if lo == 0 == hi:
+        return 0
+    for w in (2, 3, 4, 5, 6, 7, 8):
+        half = 1 << (w - 1)
+        if lo >= -half and hi <= half - 1:
+            return w
+    raise AssertionError("residual out of byte range")
+
+
+def dds_encode(data: bytes, strip: int = 1) -> bytes:
+    """Encode bytes as a DDS v3d differential stream body (no magic).
+
+    Exact inverse of :func:`dds_decode` (``skip=1``, unblocked): the
+    strip predictor's residuals are grouped into runs of <= 127 values,
+    each with the narrowest representable bit width; long zero-residual
+    runs become width-0 groups costing 10 bits per 127 bytes. ``strip``
+    is the predictor period — the scanline width for volume data.
+    """
+    strip = max(1, min(int(strip), 1 << 16))
+    bw = _BitWriter()
+    bw.write(0, 2)            # skip - 1  (no interleave)
+    bw.write(strip - 1, 16)   # strip - 1
+    arr = np.frombuffer(data, np.uint8)
+    n = arr.shape[0]
+    if n:
+        s = _signed_deltas(arr, strip)
+        nz = np.flatnonzero(s)
+        i = 0
+        while i < n:
+            # Zero run ahead? Emit width-0 groups for its whole length.
+            k = np.searchsorted(nz, i)
+            nxt = int(nz[k]) if k < nz.shape[0] else n
+            if nxt - i >= 16 or nxt == n:
+                run = nxt - i
+                while run > 0:
+                    cnt = min(run, 127)
+                    bw.write(cnt, DDS_RL_BITS)
+                    bw.write(0, 3)
+                    run -= cnt
+                i = nxt
+                continue
+            j = min(i + 127, n)
+            chunk = s[i:j]
+            w = _width_for(int(chunk.min()), int(chunk.max()))
+            half = (1 << w) // 2
+            bw.write(j - i, DDS_RL_BITS)
+            bw.write(_dds_code_for_width(w), 3)
+            for v in chunk + half:
+                bw.write(int(v), w)
+            i = j
+    bw.write(0, DDS_RL_BITS)  # terminator group
+    return bw.done()
+
+
+def write_dds(path: str, data: bytes, strip: int = 1) -> None:
+    """Write ``data`` as a DDS v3d container file."""
+    with open(path, "wb") as f:
+        f.write(DDS_MAGIC_V1)
+        f.write(dds_encode(data, strip))
+
+
+# ---------------------------------------------------------------------------
 # PVM parsing
 # ---------------------------------------------------------------------------
 
@@ -439,8 +562,14 @@ def write_pvm(
     courtesy: str = "",
     parameters: str = "",
     comment: str = "",
+    dds: bool = False,
 ) -> None:
-    """Write an uncompressed PVM3 file from a uint8 ``(D, H, W)`` array."""
+    """Write a PVM3 file from a uint8 ``(D, H, W)`` array.
+
+    ``dds=True`` wraps the whole payload (header + voxels + metadata) in
+    a DDS v3d differential container — the same layout as the
+    reference's bundled ``Bucky.pvm`` — with the scanline width as the
+    predictor strip."""
     data = np.asarray(data, np.uint8)
     d, h, w = data.shape
     header = (
@@ -449,11 +578,14 @@ def write_pvm(
         + f"{scale[0]:g} {scale[1]:g} {scale[2]:g}\n".encode()
         + b"1\n"
     )
+    payload = header + data.tobytes()
+    for s in (description, courtesy, parameters, comment):
+        payload += s.encode("latin-1") + b"\0"
+    if dds:
+        write_dds(path, payload, strip=w)
+        return
     with open(path, "wb") as f:
-        f.write(header)
-        f.write(data.tobytes())
-        for s in (description, courtesy, parameters, comment):
-            f.write(s.encode("latin-1") + b"\0")
+        f.write(payload)
 
 
 # ---------------------------------------------------------------------------

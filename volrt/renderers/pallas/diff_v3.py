@@ -2187,7 +2187,7 @@ def render_image_v3_with_ovf(scene, view, ray_threshold=0.95,
 def loss_grads_v3_chunked(scene, view, target, n_chunks,
                           ray_threshold=0.95, window=None, fast=False,
                           flush=None, light_kd=0.0, shaded=False,
-                          phong=False, plan=None):
+                          phong=False, plan=None, esl=False):
     """Full-image MSE loss + scene gradients, accumulated over ray-tile
     chunks -> ``(loss, grads)`` (grads a DiffScene-shaped pytree).
 
@@ -2199,8 +2199,13 @@ def loss_grads_v3_chunked(scene, view, target, n_chunks,
     streamed sample values (sv) are resident at a time. This lets
     configs whose full-image sv exceeds the HBM budget (512^3 / 2048^2:
     ~14 GB) still use the no-replay backward: 8 chunks of ~1.8 GB each.
-    Jit-compatible; ``n_chunks`` must be static.
+    Jit-compatible; ``n_chunks`` must be static. ``esl=True`` re-derives
+    plan-time empty-group compaction from the live scene TF each step
+    (mutually exclusive with ``plan``, which would embed a stale set).
     """
+    if plan is not None and esl:
+        raise ValueError(
+            "plan embeds a fixed empty set; use esl=True without a plan")
     d, h, w = scene.density.shape
     dims = (w, h, d)
     wv, hv = view.dims
@@ -2237,9 +2242,15 @@ def loss_grads_v3_chunked(scene, view, target, n_chunks,
             rays_t = jnp.swapaxes(tiles_c, 1, 2)
             bz, by = _brick_shape(vols[0].shape, window[0], window[1],
                                   window[3:5])
+            empty = esl_block = None
+            if esl:
+                from volrt.diff.render import scene_empty_grid
+
+                empty, esl_block, _ = scene_empty_grid(sc)
             org = plan_windows(
                 tiles_c, dims, vols[0].shape, sc.ray_step, window[0],
-                window[1], bz, by, wx=window[2], view_dims=view.dims)
+                window[1], bz, by, wx=window[2], view_dims=view.dims,
+                empty=empty, esl_block=esl_block)
         else:
             # Precomputed full-image ViewPlan: slice the chunk's rows.
             # Padding tiles are all-zero (F_NG = 0 -> the kernel's group

@@ -249,11 +249,13 @@ def fit(
         # maps to zero — train with esl=False if that matters. The empty
         # grid re-derives from the live tf_base every step, so ranges the
         # TF *does* open during training are marched from then on.
-        if volume_sharded or (fused and mesh is not None) or (
-                grad_chunks and grad_chunks > 1):
+        if volume_sharded:
             raise NotImplementedError(
-                "esl=True supports the single-chip fused and XLA paths")
-        if fused:
+                "esl=True is not supported in volume-sharded training")
+        if fused and (mesh is not None or (grad_chunks
+                                           and grad_chunks > 1)):
+            pass  # esl threads through loss_grads_fn below
+        elif fused:
             from volrt.diff import fused as fused_mod
 
             def loss_fn(scene, view, target, _sh=shading):
@@ -289,26 +291,28 @@ def fit(
         # Fused kernels under a mesh: shard_map the v3 fwd/bwd over ray
         # tiles (XLA cannot auto-partition a custom kernel). The loss
         # shards its own tiles, so the step wrapper only pins the state
-        # replicated (no row constraint on the raw target).
+        # replicated (no row constraint on the raw target). Plans (when
+        # esl is off) skip the per-step prologue exactly like the
+        # single-chip path — the sharded step pads/shards them itself.
         from volrt.dist.render import l2_loss_grads_v3_sharded
 
         fused_mesh = mesh
         constrain_target_rows = False
         two_dispatch = True
 
-        def loss_grads_fn(scene, view, target):
+        def loss_grads_fn(scene, view, target, plan=None):
             return l2_loss_grads_v3_sharded(
                 scene, view, target, fused_mesh, fast=True,
-                shading=shading, light_kd=light_kd)
+                shading=shading, light_kd=light_kd, plan=plan, esl=esl)
     elif fused and grad_chunks and grad_chunks > 1:
         from volrt.renderers.pallas.diff_v3 import loss_grads_v3_chunked
 
-        def loss_grads_fn(scene, view, target):
+        def loss_grads_fn(scene, view, target, plan=None):
             return loss_grads_v3_chunked(
                 scene, view, target, grad_chunks, fast=True,
                 light_kd=(light_kd if shading else 0.0),
                 shaded=(shading == "diffuse"),
-                phong=(shading == "phong"))
+                phong=(shading == "phong"), plan=plan, esl=esl)
     train_step = make_train_step(
         optimizer, loss_fn=loss_fn,
         train_density=train_density, train_tf=train_tf, mesh=mesh,
@@ -327,12 +331,14 @@ def fit(
     losses = []
     # Plan-once/render-many: each camera's window-origin plan depends
     # only on view geometry, so prepare it once and reuse every step
-    # (diff_v3.ViewPlan; ~5% of a fused fwd+bwd step at 1024^2). ESL
-    # plans embed the live TF's empty set and mesh/volume-sharded paths
-    # shard their own tiles — those keep the in-step plan.
+    # (diff_v3.ViewPlan; ~5% of a fused fwd+bwd step at 1024^2) — on the
+    # single-chip, chunked, AND mesh-sharded fused paths (the sharded
+    # step pads/shards the plan tables over the tile axis itself). ESL
+    # plans would embed the live TF's empty set (it changes as tf_base
+    # trains) and the volume-sharded path shards its own tiles — those
+    # keep the in-step plan.
     plans = [None] * len(views_and_targets)
-    if (fused and mesh is None and not esl and not volume_sharded
-            and not (grad_chunks and grad_chunks > 1)):
+    if fused and not esl and not volume_sharded:
         from volrt.renderers.pallas.diff_v3 import prepare_view_plan
 
         pv = jax.jit(prepare_view_plan,

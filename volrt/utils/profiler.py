@@ -39,6 +39,12 @@ class Profiler:
     stats: dict = field(
         default_factory=lambda: defaultdict(lambda: defaultdict(_Stat))
     )
+    # Derived per-(config, renderer) metrics beside the timing stats —
+    # e.g. {"mfu": 0.41}. Filled by the bench harness where the kernel's
+    # model FLOPs are derivable (the windowed Pallas rungs).
+    notes: dict = field(
+        default_factory=lambda: defaultdict(lambda: defaultdict(dict))
+    )
     ring: list = field(default_factory=list)
     _t0: float = 0.0
     _key: tuple = ()
@@ -102,8 +108,28 @@ class Profiler:
     def print_samples(self) -> str:
         return "samples:\n" + self._table(lambda s: float(s.samples))
 
+    def note(self, config: str, renderer: str, **metrics) -> None:
+        """Attach derived metrics (e.g. ``mfu=0.41``) to a cell."""
+        self.notes[config][renderer].update(metrics)
+
+    def print_mfu(self) -> str:
+        """MFU table (model-FLOPs utilization of the nominal windowed
+        march vs chip peak — the roofline column the reference Profiler
+        has no analog for). Blank where no model is derivable (the
+        non-windowed rungs) or the chip peak is unknown (CPU runs)."""
+        renderers = sorted({r for cfg in self.notes.values() for r in cfg})
+        lines = ["config," + ",".join(renderers)]
+        for config, per_r in self.notes.items():
+            row = [config]
+            for r in renderers:
+                v = per_r.get(r, {}).get("mfu")
+                row.append("" if v is None else f"{v:.4f}")
+            lines.append(",".join(row))
+        return "mfu:\n" + "\n".join(lines)
+
     def reset(self) -> None:
         self.stats.clear()
+        self.notes.clear()
         self.ring.clear()
 
 
