@@ -699,6 +699,58 @@ class TestAutoWindow:
                 (4, 8, 128)))
             assert tiny > 0
 
+    def test_shaded_auto_window_image_exact(self):
+        """auto_window(shaded=/phong=) widens the base pick by the
+        light-tap / gradient-tap margins; shaded renders with the tuned
+        window match the conservative default window exactly (the j033
+        hardware result, 2.5-3x faster at 256^3)."""
+        import numpy as np
+
+        from volrt.renderers.pallas.diff_v3 import auto_window
+
+        scene, _ = setup(n=24, wh=48, step=2.0 / 24)
+        cam = Camera(dims=(48, 48))
+        cam.zoom(-1.0)
+        cam.set_camera_position((30.0, 20.0, 0.0))
+        view = cam.view()
+        base = auto_window(scene.density.shape, view,
+                           float(scene.ray_step))
+        for shaded, phong in ((True, False), (False, True)):
+            w = auto_window(scene.density.shape, view,
+                            float(scene.ray_step),
+                            shaded=shaded, phong=phong)
+            assert w[0] >= base[0] and w[1] >= base[1]
+            from volrt.diff.fused import render_image_fused
+
+            img_d = render_image_fused(
+                scene, view, ray_threshold=2.0, shaded=shaded,
+                phong=phong, light_kd=0.6)
+            img_t = render_image_fused(
+                scene, view, ray_threshold=2.0, shaded=shaded,
+                phong=phong, light_kd=0.6, window=w)
+            np.testing.assert_allclose(
+                np.asarray(img_t), np.asarray(img_d), atol=1e-6)
+
+    def test_fit_with_window(self):
+        """fit(window=...) threads the static window through the fused
+        loss; training still converges."""
+        import jax.numpy as jnp
+
+        from volrt.diff.render import DiffScene
+        from volrt.train.fit import fit
+
+        scene0, view = setup(n=16, wh=32, step=0.15)
+        from volrt.diff.render import render_diff_image
+
+        target = render_diff_image(scene0, view)
+        start = DiffScene(
+            density=jnp.full(scene0.density.shape, 0.3, jnp.float32),
+            tf_base=scene0.tf_base, ray_step=scene0.ray_step)
+        _, losses = fit(start, [(view, target)], steps=3, lr=0.05,
+                        train_tf=False, fused=True,
+                        window=(8, 16, 128))
+        assert losses[-1] < losses[0]
+
     def test_rung5_esl_compaction_renders(self):
         """Rung 5 with rc.esl routes through plan-time compaction and
         stays pixel-identical to esl off."""

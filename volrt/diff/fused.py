@@ -141,8 +141,15 @@ def render_image_fused(
 def l2_loss_fused(scene: DiffScene, view, target: jax.Array,
                   fast: bool = False, shaded: bool = False,
                   light_kd=0.6, phong: bool = False,
-                  esl: bool = False, plan=None) -> jax.Array:
+                  esl: bool = False, plan=None,
+                  window: tuple | None = None,
+                  flush: tuple[int, int] | None = None) -> jax.Array:
+    """MSE training loss through the fused kernels. ``window``/``flush``
+    are static per-pose kernel tunings (e.g. from
+    ``diff_v3.auto_window(..., shaded=..., phong=...)`` — a tuned shaded
+    window measured 2.5-3x over the conservative default at 256^3;
+    validate ``flush`` with ``diff_v3.planned_flush_lost`` first)."""
     img = render_image_fused(scene, view, fast=fast, shaded=shaded,
                              light_kd=light_kd, phong=phong, esl=esl,
-                             plan=plan)
+                             plan=plan, window=window, flush=flush)
     return jnp.mean((img - target) ** 2)

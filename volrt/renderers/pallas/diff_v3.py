@@ -111,6 +111,36 @@ _WMAT_DIRECT = False
 # matmul (hat strips as MXU operands)".
 _WMAT_MXU = False
 
+# Experiment: run the backward's per-band dTF scatter matmul
+# ((TF_SIZE, R) one-hot @ (R, 8) cotangent columns) in bf16. The matmul
+# is MXU-starved (N = 8 uses 1/16 of the systolic array's output tiles),
+# so the f32->bf16 4x rate difference on v5e applies almost directly to
+# the ~40 ms dTF share. Hat weights in bf16 round at ~1e-3 relative —
+# the fast=True production regime (gathers are already bf16).
+# MEASURED 2026-08-20: 243.6 vs 243.4 ms — neutral (DEFAULT precision
+# already runs single bf16 passes; the cast only moves vreg traffic).
+_DTF_BF16 = False
+
+# Separable dTF scatter (unshaded/slab paths): the per-band cotangent
+# columns factor as dcol_c = g_c * f_band for the color rows and
+# ga * f - t_band for alpha (g_c per-ray constants across bands), so
+#     dTF = [sum_bands oh*f] @ [g_r; g_g; g_b; g_a]^T
+#           - e_a * rowsum([sum_bands oh*t])
+# — TWO matmuls per TILE replace the 8-per-group N=8 matmuls whose MXU
+# cost the j012 ablation measured at ~24 ms of the headline step
+# (the (TF_SIZE, R) hat build itself is overlapped). Costs two
+# (TF_SIZE, R) f32 VMEM accumulators + 2 extra VPU multiply-adds per
+# band. Shade/phong keep the per-band matmul (their cotangent chains
+# are not separable).
+# MEASURED 2026-08-20 (j013): 258.3 vs 243.3 ms — REGRESSION. The two
+# per-band (TF_SIZE, R) VMEM read-modify-writes (~0.5 GB/step of VMEM
+# round-trips) cost more than the matmuls they remove; the dtf matmul
+# share is MXU K-streaming, not issue overhead, and it overlaps the
+# VPU-heavy band tail. Parity of the path is clean (density 1.1e-9,
+# TF 6.9e-8 vs XLA autodiff on hardware) — kept for documentation,
+# default OFF.
+_DTF_SEP = False
+
 
 def _expand_taps(wzw, wyw, wz, wy, dtype):
     """(wz, R) x (wy, R) hat strips -> (wz*wy, R) tap matrix, row-major
@@ -1223,6 +1253,10 @@ def _bwd_kernel(
     xbw = window[5] if len(window) > 5 else 0
     use_xbox = not shade and not phong and 0 < xbw < wx
     dxs_ref = rest[i + 5] if use_xbox else None
+    use_sep = _DTF_SEP and not shade and not phong
+    if use_sep:
+        j = i + 5 + (1 if use_xbox else 0)
+        ohf_ref, oht_ref = rest[j], rest[j + 1]
     del dv0_in_ref, dv1_in_ref, dv2_in_ref, dv3_in_ref  # aliased
     abl = _BWD_ABLATE
     dtype = v0_ref.dtype
@@ -1265,6 +1299,9 @@ def _bwd_kernel(
     acc_ref[...] = jnp.zeros_like(acc_ref)
     if use_xbox:
         dxs_ref[...] = jnp.zeros_like(dxs_ref)
+    if use_sep:
+        ohf_ref[...] = jnp.zeros_like(ohf_ref)
+        oht_ref[...] = jnp.zeros_like(oht_ref)
 
     if not have_sv:
         def start_brick(B, slot):
@@ -1589,9 +1626,10 @@ def _bwd_kernel(
         P = P + jnp.sum(contrib, axis=0, keepdims=True)
         S_next = G_total - (P_in + contrib)
         denom = 1.0 - ca
-        dcr8, dcg8, dcb8 = gr * f, ggn * f, gb * f
-        dca8 = ga * f - jnp.where(
+        t8 = jnp.where(
             denom > 1e-6, S_next / jnp.maximum(denom, 1e-6), 0.0) * m
+        dcr8, dcg8, dcb8 = gr * f, ggn * f, gb * f
+        dca8 = ga * f - t8
         if phong:
             # Cotangent chain through the Blinn-Phong transform.
             # dcr8.. are dL/d(shaded rgb); the TF's base colors see the
@@ -1630,29 +1668,55 @@ def _bwd_kernel(
             dsval8 = dsval8 - gate_f * kd * drgb8
             dsval2_8 = gate_f * kd * drgb8
 
-        dtf_g = None
-        for g in (() if "bandtail" in abl else range(G)):
-            dcol = jnp.concatenate(
+        def dcol_f(g):
+            return jnp.concatenate(
                 [dcr8[g:g + 1], dcg8[g:g + 1], dcb8[g:g + 1],
                  dca8[g:g + 1], jnp.zeros((4, R), jnp.float32)],
                 axis=0)                              # (8, R)
 
-            # dTF += oh @ dcol^T -> (TF_SIZE, 8); accumulated in
-            # registers across the group's bands, one VMEM RMW per
-            # group. (Measured dead end: splitting the hat into an
-            # integer-equality one-hot with the 2-tap weights folded
-            # into dcol — [i==lo]*(1-fr) + shift([i==lo]*fr) — costs
-            # 288.9 vs 243.9 ms despite bit-identical weights: the
-            # second matmul + second register accumulator exceed the
-            # 4-pass hat build they replace.)
+        dtf_g = None
+        for g in (() if "bandtail" in abl else range(G)):
+            # dTF scatter. Separable path (use_sep): accumulate the
+            # f- and t-weighted one-hots into the per-tile (TF_SIZE, R)
+            # VMEM accumulators; the two closing matmuls run once per
+            # tile (see the epilogue) — j012 measured the 8-per-group
+            # N=8 matmuls at ~24 ms of the headline step. Non-separable
+            # (shade/phong): per-band oh @ dcol^T -> (TF_SIZE, 8),
+            # accumulated in registers across the group's bands, one
+            # VMEM RMW per group. (Measured dead end: splitting the hat
+            # into an integer-equality one-hot with the 2-tap weights
+            # folded into dcol costs 288.9 vs 243.9 ms — the second
+            # matmul + accumulator exceed the 4-pass hat build.)
             if "dtf" not in abl:
-                oh = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(brow - tt8[g:g + 1, :R]))
-                tfc = jax.lax.dot_general(
-                    oh, dcol, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=prec)
-                dtf_g = tfc if dtf_g is None else dtf_g + tfc
+                if "dtfoh" in abl:
+                    # Constant one-hot (build skipped, matmul kept):
+                    # isolates the (TF_SIZE, R) hat build's VPU share
+                    # from the N=8 matmul's MXU-issue share.
+                    oh = jnp.broadcast_to(
+                        tt8[g:g + 1, :R] * 1e-30, (TF_SIZE, R))
+                else:
+                    oh = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(brow - tt8[g:g + 1, :R]))
+                if use_sep:
+                    ohf_ref[...] += oh * f[g:g + 1]
+                    oht_ref[...] += oh * t8[g:g + 1]
+                elif "dtfmm" in abl:
+                    # Build kept, matmul replaced by a cheap row sink.
+                    tfc = oh[:, 0:8] * 1e-30
+                    dtf_g = tfc if dtf_g is None else dtf_g + tfc
+                elif _DTF_BF16 and fast:
+                    tfc = jax.lax.dot_general(
+                        oh.astype(jnp.bfloat16),
+                        dcol_f(g).astype(jnp.bfloat16),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    dtf_g = tfc if dtf_g is None else dtf_g + tfc
+                else:
+                    tfc = jax.lax.dot_general(
+                        oh, dcol_f(g), (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec)
+                    dtf_g = tfc if dtf_g is None else dtf_g + tfc
 
             dsval = dsval8[g:g + 1]
             if shade:
@@ -1835,6 +1899,20 @@ def _bwd_kernel(
                 dtfacc_ref.shape), 1) == 7)).astype(jnp.float32)
         dtfacc_ref[...] += cell * jnp.sum(novfx_t)
 
+    if use_sep and "dtf" not in abl and "bandtail" not in abl:
+        # Close the separable scatter: dTF = OHF @ [g_r;g_g;g_b;g_a]^T
+        # minus the alpha column's OHT row-sum (the non-separable
+        # downstream-transmittance term). Two matmuls per tile.
+        gvec = jnp.concatenate(
+            [gr, ggn, gb, ga, jnp.zeros((4, R), jnp.float32)], axis=0)
+        dtf_sep = jax.lax.dot_general(
+            ohf_ref[...], gvec, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        asum = jnp.sum(oht_ref[...], axis=1, keepdims=True)
+        acol = (jax.lax.broadcasted_iota(
+            jnp.int32, (TF_SIZE, 8), 1) == 3).astype(jnp.float32)
+        dtfacc_ref[...] += dtf_sep - acol * asum
+
     dtf_ref[...] += dtfacc_ref[...]
 
 
@@ -2009,7 +2087,10 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
         ] + ([pltpu.VMEM((wx, R), jnp.float32)]
              if (not shade and not phong
                  and 0 < (window[5] if len(window) > 5 else 0) < wx)
-             else []),
+             else [])
+        + ([pltpu.VMEM((TF_SIZE, R), jnp.float32),
+            pltpu.VMEM((TF_SIZE, R), jnp.float32)]
+           if (_DTF_SEP and not shade and not phong) else []),
         input_output_aliases={10: 0, 11: 1, 12: 2, 13: 3},
         interpret=interpret_mode(),
     )(scal, org, rays_t, *v4, tfl, lutl, gG, *dv_inits, *sv_ins, sorg)
@@ -2647,7 +2728,7 @@ AUTO_WINDOW_LADDER = (
 
 
 def auto_window(density_shape, view, ray_step, esl_grid=None,
-                ladder=AUTO_WINDOW_LADDER):
+                ladder=AUTO_WINDOW_LADDER, shaded=False, phong=False):
     """Pick the tightest overflow-free static window for a pose.
 
     Walks ``ladder`` through :func:`planned_window_ovf` (pure XLA — no
@@ -2656,6 +2737,14 @@ def auto_window(density_shape, view, ray_step, esl_grid=None,
     derivation. Call once per pose at setup (host sync per candidate);
     the returned tuple is a static kernel parameter, so renders at a
     given window shape share one compiled kernel.
+
+    ``shaded``/``phong``: widen the picked base-tap window by the
+    light-tap offset (``SHADE_LIGHT_OFFSET`` world units in voxels)
+    resp. the +-1-voxel gradient taps, the same margins
+    :func:`_view_window` applies to the defaults — so shaded renders
+    can use pose-tuned windows too (hardware job j033: the tuned
+    (8, 24, 64) shaded window renders image-identical to the default
+    ~(20, 32, 128) at 2.5-3x the speed at 256^3/1024^2).
 
     Replaces the fudge-factor divergence model as the way to tune
     windows: the plan replay is exact for the actual ray bundle, where
@@ -2674,6 +2763,20 @@ def auto_window(density_shape, view, ray_step, esl_grid=None,
 
     check = jax.jit(_check, static_argnums=(0,))
     pd, ph = -(-d // 8) * 8, -(-h // 8) * 8
+    off = 0
+    if shaded:
+        off = int(0.01 * 0.5 * max(w, h, d)) + 2
+    elif phong:
+        off = 2
+
+    def widen(win):
+        if not off:
+            return _norm_window(win)
+        return _norm_window((
+            min(win[0] + off, pd),
+            min(-(-(win[1] + off) // 8) * 8, ph),
+            win[2]))
+
     seen = set()
     for cand in ladder:
         # Windows cannot exceed the (padded) volume extents — the brick
@@ -2683,9 +2786,8 @@ def auto_window(density_shape, view, ray_step, esl_grid=None,
             continue
         seen.add(cand)
         if int(check(cand, empty)) == 0:
-            return _norm_window(cand)
-    return _norm_window(
-        default_window((w, h, d), view.dims, view.perspective))
+            return widen(cand)
+    return widen(default_window((w, h, d), view.dims, view.perspective))
 
 
 def planned_flush_lost(scene, view, flush, window=None,

@@ -179,6 +179,8 @@ def fit(
     shading: str | None = None,
     light_kd: float = 0.6,
     esl: bool = False,
+    window: tuple | None = None,
+    flush: tuple[int, int] | None = None,
 ) -> tuple[DiffScene, list[float]]:
     """Fit the scene to targets; returns (scene, per-step losses).
 
@@ -196,6 +198,11 @@ def fit(
     — the >HBM-volume configuration: each device marches its own slab
     through the v3 kernels and the seed cotangents flow back across the
     ppermute opacity scan (dist.volume_sharded).
+    ``window``/``flush`` (fused paths): static per-pose kernel tunings
+    — e.g. ``diff_v3.auto_window(..., shaded=..., phong=...)`` and a
+    ``planned_flush_lost``-validated flush box. A pose-tuned shaded
+    window measured 2.5-3x over the conservative default at 256^3
+    (hardware job j033).
     """
     import os
 
@@ -203,7 +210,15 @@ def fit(
     loss_grads_fn = None
     constrain_target_rows = True
     two_dispatch = False
-    loss_fn = l2_loss_fused if fused else l2_loss
+    if fused:
+        def loss_fn(scene, view, target, plan=None):
+            from volrt.diff import fused as fused_mod
+
+            return fused_mod.l2_loss_fused(
+                scene, view, target, fast=True, plan=plan,
+                window=window, flush=flush)
+    else:
+        loss_fn = l2_loss
     if shading:
         # Shaded inverse rendering: diffuse (reference one-tap) on both
         # paths; gradient Blinn-Phong on the XLA autodiff path only (the
@@ -218,7 +233,8 @@ def fit(
                 def loss_fn(scene, view, target, plan=None):
                     return fused_mod.l2_loss_fused(
                         scene, view, target, fast=True, phong=True,
-                        light_kd=light_kd, plan=plan)
+                        light_kd=light_kd, plan=plan,
+                        window=window, flush=flush)
             else:
                 def loss_fn(scene, view, target):
                     img = render_diff_image(
@@ -231,7 +247,8 @@ def fit(
                 def loss_fn(scene, view, target, plan=None):
                     return fused_mod.l2_loss_fused(
                         scene, view, target, fast=True, shaded=True,
-                        light_kd=light_kd, plan=plan)
+                        light_kd=light_kd, plan=plan,
+                        window=window, flush=flush)
             else:
                 def loss_fn(scene, view, target):
                     img = render_diff_image(
@@ -262,7 +279,8 @@ def fit(
                 return fused_mod.l2_loss_fused(
                     scene, view, target, fast=True, esl=True,
                     shaded=(_sh == "diffuse"), phong=(_sh == "phong"),
-                    light_kd=(light_kd if _sh else 0.0))
+                    light_kd=(light_kd if _sh else 0.0),
+                    window=window, flush=flush)
         else:
             def loss_fn(scene, view, target, _sh=shading):
                 img = render_diff_image(
@@ -303,7 +321,8 @@ def fit(
         def loss_grads_fn(scene, view, target, plan=None):
             return l2_loss_grads_v3_sharded(
                 scene, view, target, fused_mesh, fast=True,
-                shading=shading, light_kd=light_kd, plan=plan, esl=esl)
+                shading=shading, light_kd=light_kd, plan=plan, esl=esl,
+                window=window, flush=flush)
     elif fused and grad_chunks and grad_chunks > 1:
         from volrt.renderers.pallas.diff_v3 import loss_grads_v3_chunked
 
@@ -312,7 +331,9 @@ def fit(
                 scene, view, target, grad_chunks, fast=True,
                 light_kd=(light_kd if shading else 0.0),
                 shaded=(shading == "diffuse"),
-                phong=(shading == "phong"), plan=plan, esl=esl)
+                phong=(shading == "phong"), plan=plan, esl=esl,
+                window=None if window is None else tuple(window),
+                flush=flush)
     train_step = make_train_step(
         optimizer, loss_fn=loss_fn,
         train_density=train_density, train_tf=train_tf, mesh=mesh,
@@ -344,7 +365,8 @@ def fit(
         pv = jax.jit(prepare_view_plan,
                      static_argnums=(0, 2, 3, 4, 5))
         plans = [
-            pv(scene.density.shape, v, float(scene.ray_step), None,
+            pv(scene.density.shape, v, float(scene.ray_step),
+               None if window is None else tuple(window),
                shading == "diffuse", shading == "phong")
             for v, _ in views_and_targets
         ]

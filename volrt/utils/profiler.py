@@ -113,10 +113,13 @@ class Profiler:
         self.notes[config][renderer].update(metrics)
 
     def print_mfu(self) -> str:
-        """MFU table (model-FLOPs utilization of the nominal windowed
-        march vs chip peak — the roofline column the reference Profiler
-        has no analog for). Blank where no model is derivable (the
-        non-windowed rungs) or the chip peak is unknown (CPU runs)."""
+        """Nominal-MFU table (model FLOPs of a FULL march at nominal
+        steps vs chip peak — the roofline column the reference Profiler
+        has no analog for). Values above 1.0 mean ERT/ESL pruned real
+        work below the nominal model (a feature, not a measurement
+        error); read full-march configs (no_optim) for true roofline
+        distance. Blank where no model is derivable (non-windowed
+        rungs) or the chip peak is unknown (CPU runs)."""
         renderers = sorted({r for cfg in self.notes.values() for r in cfg})
         lines = ["config," + ",".join(renderers)]
         for config, per_r in self.notes.items():
@@ -125,7 +128,8 @@ class Profiler:
                 v = per_r.get(r, {}).get("mfu")
                 row.append("" if v is None else f"{v:.4f}")
             lines.append(",".join(row))
-        return "mfu:\n" + "\n".join(lines)
+        return ("nominal mfu (full-march model; >1 = ERT/ESL pruned "
+                "work):\n" + "\n".join(lines))
 
     def reset(self) -> None:
         self.stats.clear()
