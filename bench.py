@@ -42,18 +42,25 @@ def main() -> int:
     # (bench_diff_step prepares the ViewPlan outside the timed loop):
     # 243.5 ms = 1.107e9 rays*steps/s — over the 1e9 target. Parity:
     # density 6.0e-6 / TF 4.8e-6 vs XLA autodiff; plan + kernel ovf 0.
-    window = (4, 16, 64, 8, 16) if backend != "cpu" else None
-    flush = (64, 16) if backend != "cpu" else None
+    # G=32 band groups (diff_v3.set_group_size) with matching brick
+    # pads and flush: the round-4 sweep's winner (jobd j041..j049:
+    # 243.5 -> 215.2 (G16) -> 202.5 (G32) -> 199.5 ms with flush
+    # (96,24)); overflow- and flush-coverage-clean at this pose by the
+    # plan replay, gradient parity ~1e-8 vs XLA autodiff.
+    window = (4, 16, 64, 32, 32) if backend != "cpu" else None
+    flush = (96, 24) if backend != "cpu" else None
+    gsize = 32 if backend != "cpu" else None
     m = bench_diff_step(
         volume_size=size, viewport=viewport, iters=iters, window=window,
-        flush=flush)
+        flush=flush, group_size=gsize)
     # Forward-only companion run at the same config: the forward bound
     # the fwd+bwd step chases, with its own MFU (SURVEY §5 roofline
     # accounting; model = the windowed one-hot gather matmul march).
     from volrt.bench.harness import bench_fwd_step
 
     f = bench_fwd_step(
-        volume_size=size, viewport=viewport, iters=iters, window=window)
+        volume_size=size, viewport=viewport, iters=iters, window=window,
+        group_size=gsize)
     print(json.dumps({
         "metric": "diff_fwd_bwd_ray_steps_per_s",
         "value": m["ray_steps_per_s"],

@@ -751,6 +751,42 @@ class TestAutoWindow:
                         window=(8, 16, 128))
         assert losses[-1] < losses[0]
 
+    def test_group_size_16_matches_default(self):
+        """set_group_size(16) (the headline amortization tuning) keeps
+        image + gradient parity with G=8 on a plan-validated pose."""
+        import numpy as np
+
+        import volrt.renderers.pallas.diff_v3 as d3
+        from volrt.diff.fused import l2_loss_fused
+
+        scene, view = setup(n=24, wh=48, step=2.0 / 24)
+        target = jnp.zeros((48, 48, 4), jnp.float32)
+        try:
+            img8 = np.asarray(render_image_v3(scene, view))
+            l8, g8 = jax.value_and_grad(l2_loss_fused)(
+                scene, view, target)
+            d3.set_group_size(16)
+            w16 = d3.auto_window(
+                scene.density.shape, view, float(scene.ray_step))
+            ovf = int(d3.planned_window_ovf(
+                scene.density.shape, view, float(scene.ray_step), w16))
+            assert ovf == 0
+            img16 = np.asarray(
+                render_image_v3(scene, view, window=w16))
+            l16, g16 = jax.value_and_grad(l2_loss_fused)(
+                scene, view, target, window=w16)
+            np.testing.assert_allclose(img16, img8, atol=1e-5)
+            np.testing.assert_allclose(
+                float(l16), float(l8), rtol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(g16.density), np.asarray(g8.density),
+                atol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(g16.tf_base), np.asarray(g8.tf_base),
+                atol=2e-5)
+        finally:
+            d3.set_group_size(8)
+
     def test_rung5_esl_compaction_renders(self):
         """Rung 5 with rc.esl routes through plan-time compaction and
         stays pixel-identical to esl off."""

@@ -388,6 +388,7 @@ def bench_diff_step(
     window: tuple[int, int] | None = None,
     flush: tuple[int, int] | None = None,
     chunks: int | None = None,
+    group_size: int | None = None,
 ) -> dict:
     """Benchmark one differentiable forward+backward step (loss+grads) —
     the BASELINE.md headline metric: rays*steps/s for fwd+bwd.
@@ -399,6 +400,10 @@ def bench_diff_step(
     from volrt.diff.render import scene_from_volume
     from volrt.train.fit import l2_loss
 
+    if group_size is not None:
+        from volrt.renderers.pallas.diff_v3 import set_group_size
+
+        set_group_size(group_size)
     vol = synthetic_volume(volume_size)
     dims = (volume_size,) * 3
     if ray_step is None:
@@ -521,6 +526,7 @@ def bench_fwd_step(
     window: tuple[int, int] | None = None,
     shading: str | None = None,
     esl: bool = False,
+    group_size: int | None = None,
 ) -> dict:
     """Benchmark one forward render through the v3 flagship kernel under
     the headline accounting (full-cube viewport, no ERT): rays*steps/s
@@ -531,9 +537,12 @@ def bench_fwd_step(
     from volrt.core.types import default_ray_step
     from volrt.diff.render import scene_from_volume
     from volrt.renderers.pallas.diff_v3 import (
-        _view_window, prepare_view_plan, render_image_v3_with_ovf)
+        _view_window, prepare_view_plan, render_image_v3_with_ovf,
+        set_group_size)
     from volrt.utils import profiler as prof_mod
 
+    if group_size is not None:
+        set_group_size(group_size)
     vol = synthetic_volume(volume_size)
     dims = (volume_size,) * 3
     if ray_step is None:

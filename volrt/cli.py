@@ -418,6 +418,15 @@ def main(argv=None) -> int:
                 "jax_compilation_cache_dir", "/root/.jax_cache")
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 1.0)
+            # NOTE: the default 16 MB scoped-VMEM budget rejects the
+            # windowed kernels' scratch at heavy-minification configs
+            # (rung 5 at 256^3 / 256^2 misses by ~2 MB; rung 4 by far
+            # more — its per-tile window grows as 1/viewport). Those
+            # configs fall back to rung 1 (xla-batched) via the bench
+            # skip / --nosafe machinery. On directly-attached TPUs,
+            # XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536 lifts the
+            # bound; the axon tunnel's client-side XLA rejects
+            # TPU-server flags, so it cannot be set from here.
     except Exception:
         pass
     parser = argparse.ArgumentParser(

@@ -59,8 +59,23 @@ from volrt.renderers.pallas.common import X_LANES, interpret_mode
 CH_ACC0 = 10      # packed-ray channel: initial accumulated opacity
 TILE = 16         # 16x16 ray tiles
 R = TILE * TILE   # rays per tile (lane dimension)
-G = 8             # march bands per group (brick/geometry amortization)
+# March bands per group (brick/geometry/group-chain amortization).
+# Default 8: robust for oblique poses of wide volumes, where the
+# per-GROUP x window must absorb the whole group's x drift (z/y have
+# per-band origin lines; x cannot — one brick DMA serves the group).
+# 16 measured 243.5 -> 215.2 ms on the headline fwd+bwd (jobd j041,
+# 2026-08-20: half the brick DMAs, org reads, and group chains) and is
+# selectable per workload via :func:`set_group_size`; validate the
+# pose with planned_window_ovf after changing.
+G = 8
 MARGIN = 2        # window slack around the footprint minimum
+# Fixed-point fractional bits of the per-band origin-line slopes. The
+# accumulated line error is bounded by (G-1)/SLOPE_SCALE voxels; 4 bits
+# was enough at G=8 (<= 7/16), but G=16's 15/16 voxel ate the window's
+# high-side slack (j044/j045: 175 overflowed taps at a 48^3 off-axis
+# pose regardless of brick pads). 5 bits restores the <= 0.5 bound.
+SLOPE_BITS = 5
+SLOPE_SCALE = 1 << SLOPE_BITS
 BPAD_Z = 16       # brick headroom over the window (in-group drift)
 BPAD_Y = 16
 APAD_Z = 48       # gradient-accumulator headroom (multi-group residency;
@@ -181,6 +196,11 @@ def default_window(dims, view_dims, perspective=False):
     # output; the CLI warns and --strict-overflow fails). Widening the
     # window costs ~14% — detection over padding is the chosen trade.
     wz = int(math.ceil(span)) + 1 + 2 * MARGIN + 4
+    # Longer band groups bend the fitted origin chord further from the
+    # true per-band footprint minimum (rays entering/exiting mid-group
+    # kink the piecewise-linear minimum), so the slack grows with G
+    # beyond the tuned G=8 default.
+    wz += max(0, G - 8) // 2
     wy = wz + 8  # y-origin 8-alignment slack
     # Never exceed the (padded) volume extent: the brick must contain the
     # window.
@@ -192,6 +212,26 @@ def default_window(dims, view_dims, perspective=False):
     # (halves the gather matmul, x reduction, and brick DMA) by passing an
     # explicit (wz, wy, 64) window.
     return max(4, wz), max(8, wy), 128
+
+
+def set_group_size(g: int) -> None:
+    """Set the march band-group size ``G`` (static kernel-structure
+    tuning). Larger groups amortize brick DMA, org reads, and the
+    group compositing chains over more bands — ``16`` measured the
+    256^3/1024^2 headline fwd+bwd at 215.2 vs 243.5 ms — but the
+    per-group x window must absorb the whole group's x drift, so
+    oblique poses of wide volumes can overflow (always validate a new
+    (pose, volume, G) with :func:`planned_window_ovf`; the kernels also
+    count drops at runtime). Clears jit caches: ``G`` is baked into
+    every traced plan and kernel, so previously compiled callables at
+    the old size must retrace."""
+    global G
+    g = int(g)
+    if g < 1:
+        raise ValueError(f"group size must be >= 1, got {g}")
+    if g != G:
+        G = g
+        jax.clear_caches()
 
 
 def _norm_window(window):
@@ -363,7 +403,7 @@ def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by,
         # exiting rays sit below the chord); the kernel clamps any
         # undershoot back into the resident brick, and the window's top
         # slack absorbs the <=1 voxel high-side error on ascending lines.
-        q = (e - s) * 16
+        q = (e - s) * SLOPE_SCALE
         slope16 = jnp.where(live, q // max(G - 1, 1), 0)
         return jnp.where(live, s, 0), slope16, jnp.where(
             live, jnp.clip(jnp.minimum(s, e), 0, limit - width), 0)
@@ -703,8 +743,8 @@ def _band_scalars(org, B, g, bzo, byo, bz, by, wz, wy):
     resident brick (belt-and-braces vs fixed-point rounding)."""
     if "scalars" in _FWD_ABLATE:
         return bzo, byo
-    z0g = org[0, B, F_Z0] + ((org[0, B, F_DZ] * g) >> 4)
-    y0g = (org[0, B, F_Y0] + ((org[0, B, F_DY] * g) >> 4)) & ~7
+    z0g = org[0, B, F_Z0] + ((org[0, B, F_DZ] * g) >> SLOPE_BITS)
+    y0g = (org[0, B, F_Y0] + ((org[0, B, F_DY] * g) >> SLOPE_BITS)) & ~7
     z0g = jnp.clip(z0g, bzo, bzo + bz - wz)
     y0g = jnp.clip(y0g, byo, byo + by - wy) & ~7
     return z0g, y0g
@@ -1746,7 +1786,7 @@ def _bwd_kernel(
                 # matmul, then re-zero the box. Taps outside the
                 # planned box are dropped and counted (novfx).
                 x0b = (org_ref[0, B, F_X0L]
-                       + ((org_ref[0, B, F_DXL] * g) >> 4))
+                       + ((org_ref[0, B, F_DXL] * g) >> SLOPE_BITS))
                 x0loc = pl.multiple_of(
                     jnp.clip(x0b - xo, 0, wx - xbw) & ~7, 8)
                 lxl = lx - x0loc.astype(jnp.float32)
@@ -2687,10 +2727,12 @@ def planned_window_ovf(density_shape, view, ray_step, window,
         live = B < ngl                          # (T,)
         bzo = o_t[:, F_BZO]
         byo = o_t[:, F_BYO]
-        z0g = jnp.clip(o_t[:, F_Z0] + ((o_t[:, F_DZ] * g) >> 4),
-                       bzo, bzo + bz - wz)
-        y0g = jnp.clip((o_t[:, F_Y0] + ((o_t[:, F_DY] * g) >> 4)) & ~7,
-                       byo, byo + by - wy) & ~7
+        z0g = jnp.clip(
+            o_t[:, F_Z0] + ((o_t[:, F_DZ] * g) >> SLOPE_BITS),
+            bzo, bzo + bz - wz)
+        y0g = jnp.clip(
+            (o_t[:, F_Y0] + ((o_t[:, F_DY] * g) >> SLOPE_BITS)) & ~7,
+            byo, byo + by - wy) & ~7
         b = (o_t[:, F_B0] + g).astype(jnp.float32)[:, None]
         kk = k0 + (b - j0) * ray_step
         m = alive & (b >= j0) & (kk <= kfar) & live[:, None]
@@ -2706,7 +2748,7 @@ def planned_window_ovf(density_shape, view, ray_step, window,
             # Replay the backward's gradient-scatter x box (see
             # _bwd_kernel use_xbox / the dTF pad cell [1, 7]): a miss
             # drops that sample's density-gradient contribution.
-            x0b = o_t[:, F_X0L] + ((o_t[:, F_DXL] * g) >> 4)
+            x0b = o_t[:, F_X0L] + ((o_t[:, F_DXL] * g) >> SLOPE_BITS)
             x0loc = jnp.clip(
                 x0b - o_t[:, F_XO], 0, wx - xbw_replay) & ~7
             lxl = lx - x0loc[:, None].astype(jnp.float32)
