@@ -49,9 +49,11 @@ from volrt.diff.render import DiffScene
 from volrt.dist.mesh import RAY_AXIS
 
 
-def shard_slabs(density: jax.Array, n: int) -> jax.Array:
-    """Split ``f32[D, H, W]`` into ``n`` Z-slabs with 1-voxel halos:
-    returns ``f32[n, D/n + 2, H, W]`` (edge slabs clamp-padded).
+def shard_slabs(density: jax.Array, n: int, halo: int = 1) -> jax.Array:
+    """Split ``f32[D, H, W]`` into ``n`` Z-slabs with ``halo``-voxel
+    halos: returns ``f32[n, D/n + 2*halo, H, W]`` (edge slabs
+    clamp-padded). ``halo=1`` covers trilinear taps; shaded marches need
+    more (:func:`shading_halo`).
 
     Note: this materializes the full grid in one process — fine for tests
     and single-host use; for volumes beyond one device's memory build the
@@ -61,20 +63,38 @@ def shard_slabs(density: jax.Array, n: int) -> jax.Array:
     if d % n:
         raise ValueError(f"volume depth {d} not divisible by {n} slabs")
     slab = d // n
-    padded = jnp.pad(density, ((1, 1), (0, 0), (0, 0)), mode="edge")
+    padded = jnp.pad(density, ((halo, halo), (0, 0), (0, 0)), mode="edge")
     return jnp.stack(
-        [jax.lax.dynamic_slice_in_dim(padded, k * slab, slab + 2, 0)
+        [jax.lax.dynamic_slice_in_dim(
+            padded, k * slab, slab + 2 * halo, 0)
          for k in range(n)]
     )
 
 
-def shard_slabs_to_devices(density, mesh: Mesh) -> jax.Array:
+def shading_halo(full_d: int, shading: str | None) -> int:
+    """Slab halo (voxels) required so every shading tap stays inside
+    the halo'd slab: the diffuse light tap samples
+    ``SHADE_LIGHT_OFFSET`` world units away (0.01 * full_d / 2 voxels in
+    z) and phong's central-difference taps reach +-1 voxel; +1 for the
+    trilinear neighbor."""
+    if shading == "diffuse":
+        import math
+
+        return int(math.ceil(0.01 * 0.5 * full_d)) + 2
+    if shading == "phong":
+        return 2
+    return 1
+
+
+def shard_slabs_to_devices(density, mesh: Mesh,
+                           halo: int = 1) -> jax.Array:
     """Build the halo'd slab array with each slab placed directly on its
     target device (no full-volume replica per process).
 
     ``density`` is a host array (numpy); each device receives only its
-    ``(D/n + 2, H, W)`` slab buffer, so volumes larger than one device's
-    HBM stay feasible (the per-process host copy is the remaining limit).
+    ``(D/n + 2*halo, H, W)`` slab buffer, so volumes larger than one
+    device's HBM stay feasible (the per-process host copy is the
+    remaining limit).
     """
     import numpy as np
 
@@ -85,23 +105,24 @@ def shard_slabs_to_devices(density, mesh: Mesh) -> jax.Array:
         raise ValueError(f"volume depth {d} not divisible by {n} slabs")
     slab = d // n
     density = np.asarray(density)
-    padded = np.pad(density, ((1, 1), (0, 0), (0, 0)), mode="edge")
+    padded = np.pad(density, ((halo, halo), (0, 0), (0, 0)), mode="edge")
     sharding = NamedSharding(mesh, P(RAY_AXIS))
     shards = [
         jax.device_put(
-            padded[k * slab:k * slab + slab + 2][None], dev)
+            padded[k * slab:k * slab + slab + 2 * halo][None], dev)
         for k, dev in enumerate(devices)
     ]
     return jax.make_array_from_single_device_arrays(
-        (n, slab + 2, h, w), sharding, shards)
+        (n, slab + 2 * halo, h, w), sharding, shards)
 
 
 def _sample_slab(slab: jax.Array, z_start: int, full_d: int,
-                 pos: jax.Array) -> jax.Array:
+                 pos: jax.Array, halo: int = 1) -> jax.Array:
     """Trilinear sample of one halo'd slab at world positions, using the
     FULL volume's coordinate mapping (so samples match the unsharded
-    renderer exactly). ``slab`` is ``(slab_d + 2, H, W)`` covering global
-    z voxels ``[z_start - 1, z_start + slab_d]`` (clamped)."""
+    renderer exactly). ``slab`` is ``(slab_d + 2*halo, H, W)`` covering
+    global z voxels ``[z_start - halo, z_start + slab_d + halo - 1]``
+    (clamped)."""
     sd, h, w = slab.shape
     nvec = jnp.array([w, h, full_d], jnp.float32)
     t = (pos + 1.0) * 0.5 * nvec - 0.5
@@ -115,8 +136,8 @@ def _sample_slab(slab: jax.Array, z_start: int, full_d: int,
     i1 = jnp.clip(i1, 0, nmax)
     x0, y0 = i0[..., 0], i0[..., 1]
     x1, y1 = i1[..., 0], i1[..., 1]
-    z0 = jnp.clip(i0[..., 2] - (z_start - 1), 0, sd - 1)
-    z1 = jnp.clip(i1[..., 2] - (z_start - 1), 0, sd - 1)
+    z0 = jnp.clip(i0[..., 2] - (z_start - halo), 0, sd - 1)
+    z1 = jnp.clip(i1[..., 2] - (z_start - halo), 0, sd - 1)
     fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
 
     c000 = slab[z0, y0, x0]
@@ -137,19 +158,27 @@ def _sample_slab(slab: jax.Array, z_start: int, full_d: int,
 
 
 def _slab_march(slab, z_start, full_d, tf_base, ray_step, view,
-                ray_threshold, acc0_alpha=None, alpha_only=False):
+                ray_threshold, acc0_alpha=None, alpha_only=False,
+                halo=1, shading=None, light_kd=0.0):
     """March one slab's global-lattice samples.
 
     Returns the final RGBA accumulator (alpha channel continues from
     ``acc0_alpha`` when given — the cross-slab ERT/compositing seed).
     ``alpha_only=True`` skips the RGB accumulation (the prepass).
+    ``shading`` ("diffuse" | "phong") shades each sample exactly like
+    the unsharded diff renderer (diff/render.py step); the shading taps
+    stay inside the slab when ``halo >= shading_halo(full_d, shading)``
+    (shading alters RGB only, so the alpha prepass and the cross-slab
+    opacity scan are unaffected).
     """
-    from volrt.constants import TF_SIZE
+    from volrt.constants import (
+        PHONG_KA, PHONG_KS, PHONG_SHININESS, SHADE_ALPHA_GATE,
+        SHADE_KD_GATE, SHADE_LIGHT_OFFSET, TF_SIZE)
 
     origins, directions = rays_mod.get_rays(view)
     knear, kfar, hit = rays_mod.intersect_aabb(origins, directions)
 
-    sd = slab.shape[0] - 2
+    sd = slab.shape[0] - 2 * halo
     z_lo = -1.0 + 2.0 * z_start / full_d
     z_hi = -1.0 + 2.0 * (z_start + sd) / full_d
     oz = origins[..., 2]
@@ -182,11 +211,15 @@ def _slab_march(slab, z_start, full_d, tf_base, ray_step, view,
     # but never more than the cube chord.
     n_steps = int(math.ceil(2.0 * math.sqrt(3.0) / ray_step)) + 2
 
+    def _safe_normalize(v):
+        n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+        return v * jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
+
     def step(carry, i):
         acc, alive = carry
         k = k0 + i * ray_step
         pt = origins + directions * k[..., None]
-        val = _sample_slab(slab, z_start, full_d, pt)
+        val = _sample_slab(slab, z_start, full_d, pt, halo)
         if alpha_only:
             t = val * TF_SIZE - 0.5
             i0 = jnp.floor(t)
@@ -201,6 +234,50 @@ def _slab_march(slab, z_start, full_d, tf_base, ray_step, view,
                  jnp.zeros_like(ca), ca], axis=-1)
         else:
             color = tf_lookup(val)
+            if shading == "phong":
+                # Gradient Blinn-Phong, semantics of diff/render.py's
+                # step (renderers.common.phong_shade).
+                light_pos = view.light_pos
+                ldir = _safe_normalize(light_pos - pt)
+                comps = []
+                _, h_, w_ = slab.shape
+                for axis, nv in ((0, w_), (1, h_), (2, full_d)):
+                    off = jnp.zeros((3,), jnp.float32).at[axis].set(
+                        2.0 / nv)
+                    comps.append(
+                        _sample_slab(slab, z_start, full_d, pt + off,
+                                     halo)
+                        - _sample_slab(slab, z_start, full_d, pt - off,
+                                       halo))
+                nrm = -_safe_normalize(jnp.stack(comps, axis=-1))
+                vdir = _safe_normalize(-directions)
+                half = _safe_normalize(ldir + vdir)
+                ndl = jnp.maximum(jnp.sum(nrm * ldir, axis=-1), 0.0)
+                ndh = jnp.maximum(jnp.sum(nrm * half, axis=-1), 0.0)
+                alpha = color[..., 3]
+                lit = (color[..., :3]
+                       * (PHONG_KA + light_kd * ndl)[..., None]
+                       + (PHONG_KS * ndh ** PHONG_SHININESS
+                          * alpha)[..., None])
+                gate = ((alpha > SHADE_ALPHA_GATE)
+                        & (light_kd > SHADE_KD_GATE))
+                rgb = jnp.where(gate[..., None], lit, color[..., :3])
+                color = jnp.concatenate([rgb, color[..., 3:4]], axis=-1)
+            elif shading == "diffuse":
+                light_pos = view.light_pos
+                ldir = light_pos - pt
+                ldir = ldir / jnp.linalg.norm(
+                    ldir, axis=-1, keepdims=True)
+                val_l = _sample_slab(
+                    slab, z_start, full_d,
+                    pt + ldir * SHADE_LIGHT_OFFSET, halo)
+                gate = ((color[..., 3] > SHADE_ALPHA_GATE)
+                        & (light_kd > SHADE_KD_GATE))
+                diffuse = jnp.where(
+                    gate, (val_l - val) * light_kd, 0.0)
+                color = jnp.concatenate(
+                    [color[..., :3] + diffuse[..., None],
+                     color[..., 3:4]], axis=-1)
         mask = (alive & (k <= k_out))[..., None]
         acc = acc + jnp.where(mask, color * (1.0 - acc[..., 3:4]), 0.0)
         alive = alive & (acc[..., 3] <= ray_threshold) & (k <= k_out)
@@ -249,6 +326,8 @@ def render_volume_sharded(
     front_to_back: bool | None = None,
     slabs: jax.Array | None = None,
     backend: str = "xla",
+    shading: str | None = None,
+    light_kd: float = 0.6,
 ) -> jax.Array:
     """Render with the volume Z-slab-sharded across ``mesh`` ->
     ``f32[H, W, 4]``. Differentiable w.r.t. the scene (pure XLA).
@@ -265,8 +344,20 @@ def render_volume_sharded(
     z direction, which requires a concrete (non-traced) view — under an
     outer jit pass it explicitly (it selects the static ppermute
     schedule). Pre-sharded ``slabs`` (see
-    :func:`shard_slabs_to_devices`) skip the in-graph slab stack.
+    :func:`shard_slabs_to_devices`) skip the in-graph slab stack — build
+    them with ``halo=shading_halo(D, shading)`` when shading.
+
+    ``shading`` ("diffuse" | "phong", XLA backend only): per-sample
+    shading with the unsharded diff renderer's exact semantics. The
+    slabs get a wider halo so every light/gradient tap resolves
+    slab-locally; shading alters RGB only, so the cross-slab opacity
+    scan and ERT are unchanged. The pallas slab backend stays unshaded
+    (the v3 slab kernel does not carry the shade taps).
     """
+    if shading and backend == "pallas":
+        raise NotImplementedError(
+            "shading in volume-sharded mode uses the XLA backend "
+            "(backend='xla'); the pallas slab kernel is unshaded")
     if front_to_back is None:
         try:
             front_to_back = bool(view.direction[2] >= 0)
@@ -276,17 +367,22 @@ def render_volume_sharded(
                 "traced (it selects the static ppermute schedule)") from e
     return _render_volume_sharded(
         scene, view, mesh, jnp.float32(ray_threshold),
-        bool(front_to_back), slabs, backend)
+        bool(front_to_back), slabs, backend, shading,
+        jnp.float32(light_kd))
 
 
-@partial(jax.jit, static_argnames=("mesh", "front_to_back", "backend"))
+@partial(jax.jit, static_argnames=("mesh", "front_to_back", "backend",
+                                   "shading"))
 def _render_volume_sharded(scene, view, mesh, ray_threshold,
-                           front_to_back, slabs, backend="xla"):
+                           front_to_back, slabs, backend="xla",
+                           shading=None, light_kd=0.6):
     n = mesh.devices.size
     d = scene.density.shape[0]
     slab = d // n
     if slabs is None:
-        slabs = shard_slabs(scene.density, n)
+        slabs = shard_slabs(scene.density, n,
+                            halo=shading_halo(d, shading))
+    halo = (slabs.shape[1] - slab) // 2
     tf_base, ray_step = scene.tf_base, scene.ray_step
     reverse = not front_to_back
 
@@ -308,17 +404,19 @@ def _render_volume_sharded(scene, view, mesh, ray_threshold,
                 density, premult, ray_step, view, z_start, d,
                 ray_threshold=ray_threshold, acc0=p_i)[0]
         else:
-            # Pass 1: slab opacity.
+            # Pass 1: slab opacity (shading alters RGB only).
             a_i = _slab_march(
                 slab_block[0], z_start, d, tfb, ray_step, view,
-                ray_threshold=2.0, alpha_only=True)[..., 3]
+                ray_threshold=2.0, alpha_only=True,
+                halo=halo)[..., 3]
             # Pass 2: upstream opacity entering this slab.
             p_i = _opacity_exclusive_scan(a_i, n, reverse)
             # Pass 3: full march seeded at the upstream opacity; the
             # delta is this slab's globally-scaled contribution.
             acc = _slab_march(
                 slab_block[0], z_start, d, tfb, ray_step, view,
-                ray_threshold=ray_threshold, acc0_alpha=p_i)
+                ray_threshold=ray_threshold, acc0_alpha=p_i,
+                halo=halo, shading=shading, light_kd=light_kd)
         seg = acc - jnp.concatenate(
             [jnp.zeros_like(acc[..., :3]), p_i[..., None]], axis=-1)
         # Pass 4: commutative reduction of pre-scaled segments.

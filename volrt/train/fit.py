@@ -223,9 +223,8 @@ def fit(
         # Shaded inverse rendering: diffuse (reference one-tap) on both
         # paths; gradient Blinn-Phong on the XLA autodiff path only (the
         # fused kernels' analytic backward covers the diffuse tap).
-        if volume_sharded:
-            raise NotImplementedError(
-                "shading is not supported in volume-sharded training")
+        # Volume-sharded shading routes through the XLA slab backend
+        # (wider halos carry the light/gradient taps; dist.volume_sharded).
         if shading == "phong":
             if fused:
                 from volrt.diff import fused as fused_mod
@@ -301,7 +300,9 @@ def fit(
         def loss_grads_fn(scene, view, target):
             def loss(s):
                 img = render_volume_sharded(
-                    s, view, vs_mesh, backend="pallas")
+                    s, view, vs_mesh,
+                    backend="xla" if shading else "pallas",
+                    shading=shading, light_kd=light_kd)
                 return jnp.mean((img - target) ** 2)
 
             return jax.value_and_grad(loss)(scene)
