@@ -495,6 +495,36 @@ class TestShardedFusedTraining:
             assert np.isfinite(np.asarray(g.density)).all()
             assert float(jnp.linalg.norm(g.density)) > 0
 
+    def test_volume_sharded_esl_matches(self):
+        """Plan-time ESL compaction on the slab marches (pallas backend,
+        global emptiness grid shifted to slab-local plans) is
+        image-exact vs the uncompacted slab render."""
+        from volrt.dist.volume_sharded import render_volume_sharded
+
+        vol = np.zeros((16, 16, 16), np.uint8)
+        vol[10:14, 4:12, 4:12] = 220
+        scene = scene_from_volume(
+            jnp.asarray(vol), default_transfer_fn(), 0.15)
+        cam = Camera(dims=(24, 24))
+        cam.set_camera_position((25.0, 10.0, 0.0))
+        view = cam.view()
+        mesh = make_mesh()
+        a = render_volume_sharded(
+            scene, view, mesh, backend="pallas")
+        b = render_volume_sharded(
+            scene, view, mesh, backend="pallas", esl=True)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-6)
+
+        def loss(s):
+            img = render_volume_sharded(
+                s, view, mesh, backend="pallas", esl=True)
+            return jnp.mean(img ** 2)
+
+        g = jax.grad(loss)(scene)
+        assert np.isfinite(np.asarray(g.density)).all()
+        assert float(jnp.linalg.norm(g.density)) > 0
+
     def test_fit_volume_sharded_shaded_trains(self):
         from volrt.diff.render import DiffScene
         from volrt.train.fit import fit

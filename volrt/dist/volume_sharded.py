@@ -328,6 +328,7 @@ def render_volume_sharded(
     backend: str = "xla",
     shading: str | None = None,
     light_kd: float = 0.6,
+    esl: bool = False,
 ) -> jax.Array:
     """Render with the volume Z-slab-sharded across ``mesh`` ->
     ``f32[H, W, 4]``. Differentiable w.r.t. the scene (pure XLA).
@@ -353,11 +354,22 @@ def render_volume_sharded(
     slab-locally; shading alters RGB only, so the cross-slab opacity
     scan and ERT are unchanged. The pallas slab backend stays unshaded
     (the v3 slab kernel does not carry the shade taps).
+
+    ``esl=True`` (pallas backend only): plan-time empty-group
+    compaction per slab — each device's march plan drops groups whose
+    tap footprint lies entirely in TF-empty blocks of the GLOBAL
+    emptiness grid (derived from the full scene each call), so empty
+    space costs zero kernel time on every slab. Image-exact (the usual
+    skipped-TF-gradient caveat of ESL training applies).
     """
     if shading and backend == "pallas":
         raise NotImplementedError(
             "shading in volume-sharded mode uses the XLA backend "
             "(backend='xla'); the pallas slab kernel is unshaded")
+    if esl and backend != "pallas":
+        raise NotImplementedError(
+            "esl in volume-sharded mode uses the pallas backend "
+            "(plan-time compaction; the XLA slab march has no plan)")
     if front_to_back is None:
         try:
             front_to_back = bool(view.direction[2] >= 0)
@@ -368,14 +380,14 @@ def render_volume_sharded(
     return _render_volume_sharded(
         scene, view, mesh, jnp.float32(ray_threshold),
         bool(front_to_back), slabs, backend, shading,
-        jnp.float32(light_kd))
+        jnp.float32(light_kd), esl)
 
 
 @partial(jax.jit, static_argnames=("mesh", "front_to_back", "backend",
-                                   "shading"))
+                                   "shading", "esl"))
 def _render_volume_sharded(scene, view, mesh, ray_threshold,
                            front_to_back, slabs, backend="xla",
-                           shading=None, light_kd=0.6):
+                           shading=None, light_kd=0.6, esl=False):
     n = mesh.devices.size
     d = scene.density.shape[0]
     slab = d // n
@@ -385,8 +397,14 @@ def _render_volume_sharded(scene, view, mesh, ray_threshold,
     halo = (slabs.shape[1] - slab) // 2
     tf_base, ray_step = scene.tf_base, scene.ray_step
     reverse = not front_to_back
+    if esl:
+        from volrt.diff.render import scene_empty_grid
 
-    def per_device(slab_block, tfb):
+        empty_g, esl_block, _ = scene_empty_grid(scene)
+    else:
+        empty_g, esl_block = jnp.zeros((1, 1, 1), bool), 1
+
+    def per_device(slab_block, tfb, empty_g):
         pos = jax.lax.axis_index(RAY_AXIS)
         z_start = pos * slab
         premult = jnp.concatenate(
@@ -394,15 +412,16 @@ def _render_volume_sharded(scene, view, mesh, ray_threshold,
         if backend == "pallas":
             from volrt.renderers.pallas.diff_v3 import render_slab_v3
 
+            eg = (empty_g, esl_block) if esl else None
             density = slab_block[0].astype(jnp.float32)
             # Pass 1: slab opacity (unseeded march, ERT off).
             a_i = render_slab_v3(
                 density, premult, ray_step, view, z_start, d,
-                ray_threshold=2.0)[0][..., 3]
+                ray_threshold=2.0, esl_grid=eg)[0][..., 3]
             p_i = _opacity_exclusive_scan(a_i, n, reverse)
             acc = render_slab_v3(
                 density, premult, ray_step, view, z_start, d,
-                ray_threshold=ray_threshold, acc0=p_i)[0]
+                ray_threshold=ray_threshold, acc0=p_i, esl_grid=eg)[0]
         else:
             # Pass 1: slab opacity (shading alters RGB only).
             a_i = _slab_march(
@@ -425,8 +444,8 @@ def _render_volume_sharded(scene, view, mesh, ray_threshold,
     fn = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(RAY_AXIS), P()),
+        in_specs=(P(RAY_AXIS), P(), P()),
         out_specs=P(),
         check_vma=False,
     )
-    return fn(slabs, tf_base)
+    return fn(slabs, tf_base, empty_g)

@@ -245,7 +245,10 @@ def _norm_window(window):
     if len(w) == 2:
         w = w + (128,)
     if len(w) == 3:
-        w = w + (BPAD_Z, BPAD_Y)
+        # Default brick pads scale with the group size: the per-band
+        # origin lines drift up to ~1 voxel/band, so a G-band group
+        # needs ~G voxels of brick headroom over the window.
+        w = w + (max(BPAD_Z, G), max(BPAD_Y, G))
     return w  # optionally + (xbw,) appended by _view_window
 
 
@@ -481,7 +484,12 @@ def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by,
             return (l_.astype(jnp.int32) // blk,
                     h_.astype(jnp.int32) // blk + 1)
 
-        zl, zh = brange(zmin, zmax, d)
+        if z_off is not None:
+            # Slab mode: footprints are slab-local; the ESL grid's
+            # blocks are global. Shift back before the block divide.
+            zl, zh = brange(zmin + z_off, zmax + z_off, d)
+        else:
+            zl, zh = brange(zmin, zmax, d)
         yl, yh = brange(ymin, ymax, h)
         xl, xh = brange(xmin, xmax, w)
         cnt = (sat[zh, yh, xh] - sat[zl, yh, xh] - sat[zh, yl, xh]
@@ -2557,7 +2565,7 @@ def render_view_v3(density, premult_tf, ray_step, view,
 
 def render_slab_v3(slab_density, premult_tf, ray_step, view,
                    z_start, full_d, ray_threshold=0.95, acc0=None,
-                   window=None, fast=False):
+                   window=None, fast=False, esl_grid=None):
     """March one Z-slab's global-lattice samples through the v3 forward
     kernel -> ``(f32[H, W, 4], overflow)``.
 
@@ -2571,7 +2579,10 @@ def render_slab_v3(slab_density, premult_tf, ray_step, view,
     unsharded march. Differentiable w.r.t. ``slab_density``,
     ``premult_tf`` AND ``acc0`` (the analytic backward emits the seed's
     cotangent, so autodiff flows through the cross-slab opacity scan
-    into upstream slabs).
+    into upstream slabs). ``esl_grid=(empty_bool_grid, block_voxels)``
+    (GLOBAL-volume blocks) enables plan-time empty-group compaction for
+    the slab march too — the plan shifts slab-local footprints back to
+    global z before the block test.
     """
     sdl, h, w = slab_density.shape
     sd = sdl - 2
@@ -2621,7 +2632,9 @@ def render_slab_v3(slab_density, premult_tf, ray_step, view,
                           window[3:5])
     org = plan_windows(
         tiles, dims, vols[0].shape, ray_step, window[0], window[1],
-        bz, by, wx=window[2], view_dims=view.dims, z_off=z_off)
+        bz, by, wx=window[2], view_dims=view.dims, z_off=z_off,
+        empty=esl_grid[0] if esl_grid is not None else None,
+        esl_block=esl_grid[1] if esl_grid is not None else None)
     tfl = jnp.pad(premult_tf, ((0, 0), (0, 4)))
     out = render_tiles_v3(
         scal, org, rays_t, vols, tfl, dims, ray_step, window,

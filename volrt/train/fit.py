@@ -265,9 +265,11 @@ def fit(
         # maps to zero — train with esl=False if that matters. The empty
         # grid re-derives from the live tf_base every step, so ranges the
         # TF *does* open during training are marched from then on.
-        if volume_sharded:
+        if volume_sharded and shading:
             raise NotImplementedError(
-                "esl=True is not supported in volume-sharded training")
+                "esl + shading in volume-sharded training is not "
+                "supported (esl rides the pallas slab backend, shading "
+                "the XLA one)")
         if fused and (mesh is not None or (grad_chunks
                                            and grad_chunks > 1)):
             pass  # esl threads through loss_grads_fn below
@@ -302,7 +304,7 @@ def fit(
                 img = render_volume_sharded(
                     s, view, vs_mesh,
                     backend="xla" if shading else "pallas",
-                    shading=shading, light_kd=light_kd)
+                    shading=shading, light_kd=light_kd, esl=esl)
                 return jnp.mean((img - target) ** 2)
 
             return jax.value_and_grad(loss)(scene)
