@@ -218,11 +218,22 @@ def set_group_size(g: int) -> None:
     """Set the march band-group size ``G`` (static kernel-structure
     tuning). Larger groups amortize brick DMA, org reads, and the
     group compositing chains over more bands — ``16`` measured the
-    256^3/1024^2 headline fwd+bwd at 215.2 vs 243.5 ms — but the
-    per-group x window must absorb the whole group's x drift, so
-    oblique poses of wide volumes can overflow (always validate a new
-    (pose, volume, G) with :func:`planned_window_ovf`; the kernels also
-    count drops at runtime). Clears jit caches: ``G`` is baked into
+    256^3/1024^2 headline fwd+bwd at 215.2 vs 243.5 ms, ``32`` 202.5 —
+    but two geometric budgets shrink with G, so ALWAYS validate a new
+    (pose, volume, G) with :func:`planned_window_ovf` (the kernels also
+    count drops at runtime):
+
+    - the per-group x window must absorb the whole group's x drift
+      (oblique poses of wide volumes overflow first);
+    - the per-band z/y origin lines are chords fit between each
+      group's first and last ACTIVE bands, so when rays exit mid-group
+      (march length not divisible by G at that pose) the exit group's
+      chord is compressed above the true footprint minimum by up to
+      the group's drift — e.g. G=24 at the 256-step headline pose
+      drops taps that G=8/16/32 (which divide 256) do not. Larger
+      windows absorb it (auto_window walks there), at a cost.
+
+    Clears jit caches: ``G`` is baked into
     every traced plan and kernel, so previously compiled callables at
     the old size must retrace."""
     global G
