@@ -72,6 +72,17 @@ class TestShardedRender:
             np.asarray(a), np.asarray(b), atol=1e-6)
         assert float(ovf_a) == float(ovf_b)
 
+    def test_bench_sharded_render_runs(self):
+        """The scaling benchmark drives the flagship rung over the full
+        mesh and reports a finite efficiency (machinery validation; the
+        real scaling number needs real multi-chip hardware)."""
+        from volrt.bench.harness import bench_sharded_render
+
+        m = bench_sharded_render(volume_size=16, viewport=64, iters=1)
+        assert m["devices"] == 8
+        assert m["ms_1dev"] > 0 and m["ms_ndev"] > 0
+        assert np.isfinite(m["scaling_efficiency"])
+
     def test_v3_esl_matches_unsharded(self):
         from volrt.dist.render import render_float_sharded
         from volrt.renderers.pallas import fwd_v3

@@ -606,13 +606,15 @@ def bench_sharded_render(
     volume_size: int = 64,
     viewport: int = 512,
     iters: int = 10,
-    renderer: str = "pallas-blocked",
+    renderer: str = "pallas-v3",
 ) -> dict:
     """Scaling benchmark: sharded render over all local devices vs one.
 
     On a pod slice this measures ray-tile data parallelism over ICI; under
     the CPU test mesh it validates the machinery (BASELINE.md scaling
-    metric: >=90% linear to 2 hosts).
+    metric: >=90% linear to 2 hosts). Defaults to the flagship rung
+    (``pallas-v3``) so the distributed number reflects the production
+    kernels; ``pallas-blocked``/``pallas-trilinear`` remain selectable.
     """
     import jax
 

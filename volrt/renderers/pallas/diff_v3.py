@@ -1051,7 +1051,7 @@ def _fwd_kernel(
 
         if shade:
             tx2, ty2, tz2 = _light_coords(pw, scal_ref, dims)
-        svals, ovfs, svals2 = [], [], []
+        svals, ovfs, svals2, ovfs2 = [], [], [], []
         grads = []
         w_, h_, d_ = dims
         for g in range(G):
@@ -1114,7 +1114,7 @@ def _fwd_kernel(
                     bview, (zrow, yrow, xrow), tx2, ty2, tz2, z0g, y0g,
                     xo, g, wz, wy, wx, dtype, prec)
                 svals2.append(sval2)
-                ovfs[-1] = ovfs[-1] + ovf2.astype(jnp.float32)
+                ovfs2.append(ovf2.astype(jnp.float32))
         sv8 = jnp.concatenate(svals, axis=0)     # (G, R)
         ovf8 = jnp.concatenate(ovfs, axis=0)
         if save_sv:
@@ -1168,8 +1168,18 @@ def _fwd_kernel(
             accr = accr + jnp.sum(cr * f, axis=0, keepdims=True)
             accg = accg + jnp.sum(cg * f, axis=0, keepdims=True)
             accb = accb + jnp.sum(cb * f, axis=0, keepdims=True)
+            miss8 = ovf8[:, :R] > 0.0
+            if shade:
+                # A clipped LIGHT tap only matters where its shade gate
+                # is on (alpha and kd above the reference thresholds,
+                # GPURenderer4.cu:78): gated-off taps contribute exactly
+                # zero, so counting them would flag phantom drops on
+                # every unshaded-by-value render (light_kd == 0 with
+                # the diffuse shade path traced).
+                ovf2_8 = jnp.concatenate(ovfs2, axis=0)
+                miss8 = miss8 | ((ovf2_8[:, :R] > 0.0) & gate_sh)
             novf = novf + jnp.sum(
-                jnp.where((ovf8[:, :R] > 0.0) & (m > 0.0), 1.0, 0.0),
+                jnp.where(miss8 & (m > 0.0), 1.0, 0.0),
                 axis=0, keepdims=True)
             return B + 1, accr, accg, accb, acca, fin, novf
 
