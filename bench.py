@@ -43,12 +43,13 @@ def main() -> int:
     # 243.5 ms = 1.107e9 rays*steps/s — over the 1e9 target. Parity:
     # density 6.0e-6 / TF 4.8e-6 vs XLA autodiff; plan + kernel ovf 0.
     # G=32 band groups (diff_v3.set_group_size) with matching brick
-    # pads and flush: the round-4 sweep's winner (jobd j041..j049:
-    # 243.5 -> 215.2 (G16) -> 202.5 (G32) -> 199.5 ms with flush
-    # (96,24)); overflow- and flush-coverage-clean at this pose by the
-    # plan replay, gradient parity ~1e-8 vs XLA autodiff.
+    # pads and flush: the round-4 sweep's winner (jobd j041..j060:
+    # 243.5 -> 215.2 (G16) -> 202.5 (G32) -> 199.5 (flush 96,24) ->
+    # 192.0 ms (flush 96,16 — the y box was the lever)); overflow- and
+    # flush-coverage-clean at this pose by the plan replay, gradient
+    # parity ~1e-8 vs XLA autodiff.
     window = (4, 16, 64, 32, 32) if backend != "cpu" else None
-    flush = (96, 24) if backend != "cpu" else None
+    flush = (96, 16) if backend != "cpu" else None
     gsize = 32 if backend != "cpu" else None
     m = bench_diff_step(
         volume_size=size, viewport=viewport, iters=iters, window=window,

@@ -276,6 +276,18 @@ def cmd_bench(args) -> int:
         diff_cfgs = [(64, 256), (128, 512)] if args.small else None
         run_diff_suite(configs=diff_cfgs, frames=max(2, args.frames // 2),
                        profiler=prof, logger=log)
+    if args.sharded:
+        from volrt.bench.harness import bench_sharded_render
+
+        m = bench_sharded_render(
+            volume_size=64 if args.small else 128,
+            viewport=256 if args.small else 512,
+            iters=max(2, args.frames // 2))
+        log.log(
+            "sharded render over %d devices: %.2f ms (1 dev %.2f ms), "
+            "scaling efficiency %.3f",
+            m["devices"], m["ms_ndev"], m["ms_1dev"],
+            m["scaling_efficiency"])
     log.log(prof.print_avg())
     log.log(prof.print_max())
     log.log(prof.print_samples())
@@ -475,6 +487,10 @@ def main(argv=None) -> int:
     p.add_argument("--diff", action="store_true",
                    help="append differentiable fwd+bwd rows (fused v3 "
                         "loss+grad steps) to the report")
+    p.add_argument("--sharded", action="store_true",
+                   help="append the multi-device scaling row (flagship "
+                        "rung shard_map'ed over all local devices vs "
+                        "one; the BASELINE scaling-efficiency metric)")
     p.add_argument("-o", "--output", default=None, help="CSV report path")
     p.add_argument("--log", default="volrt.log")
     p.set_defaults(fn=cmd_bench)
