@@ -751,6 +751,61 @@ class TestAutoWindow:
                         window=(8, 16, 128))
         assert losses[-1] < losses[0]
 
+    def test_need_tf_grad_false_density_identical(self):
+        """need_tf_grad=False (density-only training) skips the dTF
+        scatter: density gradients identical, TF gradient zero."""
+        import numpy as np
+
+        from volrt.diff.fused import l2_loss_fused
+
+        scene, view = setup(n=24, wh=48, step=2.0 / 24)
+        target = jnp.zeros((48, 48, 4), jnp.float32)
+        _, g_full = jax.value_and_grad(l2_loss_fused)(
+            scene, view, target)
+        _, g_nod = jax.value_and_grad(
+            lambda s: l2_loss_fused(s, view, target,
+                                    need_tf_grad=False))(scene)
+        np.testing.assert_array_equal(
+            np.asarray(g_nod.density), np.asarray(g_full.density))
+        assert float(jnp.max(jnp.abs(g_nod.tf_base))) == 0.0
+        assert float(jnp.max(jnp.abs(g_full.tf_base))) > 0.0
+
+    def test_need_density_grad_false_tf_identical(self):
+        """need_density_grad=False (TF-only training) skips the whole
+        density scatter (tap rebuild, dbrick matmul, acc RMW, flush):
+        TF gradients identical, density gradient zero."""
+        import numpy as np
+
+        from volrt.diff.fused import l2_loss_fused
+
+        scene, view = setup(n=24, wh=48, step=2.0 / 24)
+        target = jnp.zeros((48, 48, 4), jnp.float32)
+        _, g_full = jax.value_and_grad(l2_loss_fused)(
+            scene, view, target)
+        _, g_nod = jax.value_and_grad(
+            lambda s: l2_loss_fused(s, view, target,
+                                    need_density_grad=False))(scene)
+        np.testing.assert_allclose(
+            np.asarray(g_nod.tf_base), np.asarray(g_full.tf_base),
+            atol=1e-7)
+        assert float(jnp.max(jnp.abs(g_nod.density))) == 0.0
+        assert float(jnp.max(jnp.abs(g_full.density))) > 0.0
+
+    def test_fit_density_only_uses_no_dtf_path(self):
+        """fit(train_tf=False, fused=True) trains through the
+        dTF-skipping backward and converges."""
+        from volrt.diff.render import DiffScene, render_diff_image
+        from volrt.train.fit import fit
+
+        scene0, view = setup(n=16, wh=32, step=0.15)
+        target = render_diff_image(scene0, view)
+        start = DiffScene(
+            density=jnp.full(scene0.density.shape, 0.3, jnp.float32),
+            tf_base=scene0.tf_base, ray_step=scene0.ray_step)
+        _, losses = fit(start, [(view, target)], steps=3, lr=0.05,
+                        train_tf=False, fused=True)
+        assert losses[-1] < losses[0]
+
     def test_group_size_16_matches_default(self):
         """set_group_size(16) (the headline amortization tuning) keeps
         image + gradient parity with G=8 on a plan-validated pose."""

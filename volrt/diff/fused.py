@@ -57,7 +57,8 @@ def _v3_fits(scene, view) -> bool:
 
 @partial(jax.jit,
          static_argnames=("ray_threshold", "window", "blocked", "fast",
-                          "esl", "flush", "shaded", "phong"))
+                          "esl", "flush", "shaded", "phong",
+                          "need_tf_grad", "need_density_grad"))
 def render_image_fused(
     scene: DiffScene,
     view,
@@ -71,6 +72,8 @@ def render_image_fused(
     light_kd=0.6,
     phong: bool = False,
     plan=None,
+    need_tf_grad: bool = True,
+    need_density_grad: bool = True,
 ) -> jax.Array:
     """Differentiable render -> ``f32[H, W, 4]`` (fused Pallas fwd/bwd).
 
@@ -91,7 +94,8 @@ def render_image_fused(
             window=window, fast=fast, esl=esl, flush=flush,
             shaded=shaded, phong=phong,
             light_kd=(light_kd if (shaded or phong) else 0.0),
-            plan=plan)
+            plan=plan, need_dtf=need_tf_grad,
+            need_dvol=need_density_grad)
     if plan is not None:
         raise NotImplementedError(
             "plan= requires the v3 path (this view falls outside its "
@@ -143,7 +147,9 @@ def l2_loss_fused(scene: DiffScene, view, target: jax.Array,
                   light_kd=0.6, phong: bool = False,
                   esl: bool = False, plan=None,
                   window: tuple | None = None,
-                  flush: tuple[int, int] | None = None) -> jax.Array:
+                  flush: tuple[int, int] | None = None,
+                  need_tf_grad: bool = True,
+                  need_density_grad: bool = True) -> jax.Array:
     """MSE training loss through the fused kernels. ``window``/``flush``
     are static per-pose kernel tunings (e.g. from
     ``diff_v3.auto_window(..., shaded=..., phong=...)`` — a tuned shaded
@@ -151,5 +157,7 @@ def l2_loss_fused(scene: DiffScene, view, target: jax.Array,
     validate ``flush`` with ``diff_v3.planned_flush_lost`` first)."""
     img = render_image_fused(scene, view, fast=fast, shaded=shaded,
                              light_kd=light_kd, phong=phong, esl=esl,
-                             plan=plan, window=window, flush=flush)
+                             plan=plan, window=window, flush=flush,
+                             need_tf_grad=need_tf_grad,
+                             need_density_grad=need_density_grad)
     return jnp.mean((img - target) ** 2)

@@ -160,7 +160,7 @@ def l2_loss_grads_v3_sharded(scene, view, target, mesh,
                              ray_threshold=0.95, fast=True,
                              window=None, flush=None,
                              shading=None, light_kd=0.6,
-                             plan=None, esl=False):
+                             plan=None, esl=False, need_dtf=True):
     """MSE loss + scene gradients with ray tiles shard_map'ed over
     ``mesh`` through the v3 fused differentiable kernels.
 
@@ -248,7 +248,8 @@ def l2_loss_grads_v3_sharded(scene, view, target, mesh,
         def shard_fn(scal, org_l, rays_l, tgt_l, tfl, *vols):
             out = render_tiles_v3(
                 scal, org_l, rays_l, tuple(vols), tfl, dims,
-                sc.ray_step, window, fast, shaded, fl, False, phong)
+                sc.ray_step, window, fast, shaded, fl, False, phong,
+                False, bool(need_dtf))
             diff = out[:, :4, :] - jnp.swapaxes(tgt_l, 1, 2)
             return jax.lax.psum(jnp.sum(diff * diff), RAY_AXIS)
 

@@ -1281,7 +1281,8 @@ def _bwd_kernel(
     *rest,
     dims, ray_step, wz, wy, wx, n_phases, fast, shade=False,
     flush_shape=None, have_sv=False, brick_shape=None, slab=False,
-    phong=False, no_ert=False, window=(),
+    phong=False, no_ert=False, window=(), need_dtf=True,
+    need_dvol=True,
 ):
     # rest = [sv_in(, sv2_in)(, gx, gy, gz)] (have_sv inputs), sorg,
     # dv0..dv3, dtf[, dacc0] outputs, [brick scratch, sem] (replay mode
@@ -1365,7 +1366,8 @@ def _bwd_kernel(
         dtf_ref[...] = jnp.zeros_like(dtf_ref)
 
     dtfacc_ref[...] = jnp.zeros_like(dtfacc_ref)
-    acc_ref[...] = jnp.zeros_like(acc_ref)
+    if need_dvol:
+        acc_ref[...] = jnp.zeros_like(acc_ref)
     if use_xbox:
         dxs_ref[...] = jnp.zeros_like(dxs_ref)
     if use_sep:
@@ -1427,7 +1429,7 @@ def _bwd_kernel(
         ayo = pl.multiple_of(ayo, 8)
         zo = pl.multiple_of(zo, 8)
         yo_ = pl.multiple_of(yo_, 8)
-        if "flush" not in abl:
+        if need_dvol and "flush" not in abl:
             for s in range(2):
                 @pl.when((k & 1) == s)
                 def _(s=s):
@@ -1448,8 +1450,9 @@ def _bwd_kernel(
         # Zero only the flushed box: rows outside it were never written
         # with nonzero values (window rows beyond the tap support add
         # exact zeros), so the accumulator stays all-zero inductively.
-        acc_ref[pl.ds(zo, fz), pl.ds(yo_, fy), :] = jnp.zeros(
-            (fz, fy, 128), jnp.float32)
+        if need_dvol:
+            acc_ref[pl.ds(zo, fz), pl.ds(yo_, fy), :] = jnp.zeros(
+                (fz, fy, 128), jnp.float32)
 
     def body(carry):
         (B, acca, fin, P, azo, ayo, axo, aph, rzo, ryo, k, wf,
@@ -1481,7 +1484,7 @@ def _bwd_kernel(
         n_rzo = sorg_ref[0, B, S_RZO]
         n_ryo = sorg_ref[0, B, S_RYO]
         n_aph = org_ref[0, B, F_PH]
-        if "flush" not in abl:
+        if need_dvol and "flush" not in abl:
             for s in range(2):
                 @pl.when(new & ((kp & 1) == s))
                 def _(s=s):
@@ -1724,12 +1727,15 @@ def _bwd_kernel(
             dgx8 = -ginv * dnx + g3 * dng * gxr
             dgy8 = -ginv * dny + g3 * dng * gyr
             dgz8 = -ginv * dnz + g3 * dng * gzr
-        dsval8 = (
-            slopes[0][:, :R] * dcr8
-            + slopes[1][:, :R] * dcg8
-            + slopes[2][:, :R] * dcb8
-            + slopes[3][:, :R] * dca8
-        ) * rng8[:, :R]
+        if need_dvol:
+            dsval8 = (
+                slopes[0][:, :R] * dcr8
+                + slopes[1][:, :R] * dcg8
+                + slopes[2][:, :R] * dcb8
+                + slopes[3][:, :R] * dca8
+            ) * rng8[:, :R]
+        else:
+            dsval8 = dcr8 * 0.0
         if shade:
             # diffuse = gate * kd * (s2 - s): the rgb cotangents flow
             # -kd into this tap's density and +kd into the light tap's.
@@ -1756,7 +1762,7 @@ def _bwd_kernel(
             # into an integer-equality one-hot with the 2-tap weights
             # folded into dcol costs 288.9 vs 243.9 ms — the second
             # matmul + accumulator exceed the 4-pass hat build.)
-            if "dtf" not in abl:
+            if need_dtf and "dtf" not in abl:
                 if "dtfoh" in abl:
                     # Constant one-hot (build skipped, matmul kept):
                     # isolates the (TF_SIZE, R) hat build's VPU share
@@ -1787,6 +1793,12 @@ def _bwd_kernel(
                         precision=prec)
                     dtf_g = tfc if dtf_g is None else dtf_g + tfc
 
+            if not need_dvol:
+                # TF-only training: the whole density
+                # scatter (tap rebuild, dbrick matmul,
+                # acc RMW, xbox) drops out; dv outputs
+                # stay their aliased zero inits.
+                continue
             dsval = dsval8[g:g + 1]
             if shade:
                 dsval2 = dsval2_8[g:g + 1]
@@ -1940,7 +1952,7 @@ def _bwd_kernel(
     # Drain the outstanding write-backs before the kernel ends: the
     # final session's, and the one before it unless the final session's
     # S_WAIT already drained it (never wait a semaphore twice).
-    if "flush" not in abl:
+    if need_dvol and "flush" not in abl:
         for s in range(2):
             @pl.when(((k >= 0) & ((k & 1) == s))
                      | ((k >= 1) & ((k & 1) != s) & (wf == 0)))
@@ -1968,7 +1980,8 @@ def _bwd_kernel(
                 dtfacc_ref.shape), 1) == 7)).astype(jnp.float32)
         dtfacc_ref[...] += cell * jnp.sum(novfx_t)
 
-    if use_sep and "dtf" not in abl and "bandtail" not in abl:
+    if (use_sep and need_dtf and "dtf" not in abl
+            and "bandtail" not in abl):
         # Close the separable scatter: dTF = OHF @ [g_r;g_g;g_b;g_a]^T
         # minus the alpha column's OHT row-sum (the non-separable
         # downstream-transmittance term). Two matmuls per tile.
@@ -2064,7 +2077,7 @@ def _pallas_fwd(scal, org, rays_t, vols, tfl, *, dims, ray_step,
 def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
                 window, fast, shade=False, flush=None, sv=None,
                 sv2=None, sv_g=None, slab=False, phong=False,
-                no_ert=False):
+                no_ert=False, need_dtf=True, need_dvol=True):
     t = rays_t.shape[0]
     ngr = org.shape[1]
     wz, wy, wx = window[:3]
@@ -2083,7 +2096,7 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
         _bwd_kernel, dims=dims, ray_step=ray_step, wz=wz, wy=wy, wx=wx,
         n_phases=n_phases, fast=fast, shade=shade, have_sv=have_sv,
         brick_shape=(bz, by), slab=slab, phong=phong, no_ert=no_ert,
-        window=window)
+        window=window, need_dtf=need_dtf, need_dvol=need_dvol)
     vshape = v4[0].shape
     # Unused phase slots get token-sized buffers (the kernel touches only
     # dv_refs[:n_phases]) — at 512^3 full-size zeros here waste ~1.2 GB.
@@ -2181,10 +2194,12 @@ def _pack_gG(g, out):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+                                    15))
 def render_tiles_v3(scal, org, rays_t, vols, tfl,
                     dims, ray_step, window, fast=False, shade=False,
-                    flush=None, slab=False, phong=False, no_ert=False):
+                    flush=None, slab=False, phong=False, no_ert=False,
+                    need_dtf=True, need_dvol=True):
     """Differentiable v3 tile render.
 
     Inputs: ``rays_t (T, C, R)`` lane-major ray tiles, ``org`` planned
@@ -2200,6 +2215,12 @@ def render_tiles_v3(scal, org, rays_t, vols, tfl,
     CH_ACC0 tile channel, and the backward additionally returns the
     seed's cotangent through ``rays_t`` (its other channels stay zero)
     — the hook the cross-slab transmittance scan differentiates through.
+    ``need_dtf=False`` (static) skips the backward's per-band dTF
+    one-hot scatter entirely and returns a zero TF cotangent — for
+    density-only training (``fit(train_tf=False)``), where the TF
+    gradient would be zeroed by the optimizer anyway; the dTF matmul is
+    ~21 ms of the 256^3/1024^2 headline step. Plan-validation counters
+    (flush-lost pad cell [0,7], xbox pad cell [1,7]) still flow.
     """
     return _pallas_fwd(
         scal, org, rays_t, vols, tfl,
@@ -2221,7 +2242,8 @@ def _use_sv(t, ngr, shade, phong=False) -> bool:
 
 def _fwd_rule(scal, org, rays_t, vols, tfl, dims, ray_step, window,
               fast=False, shade=False, flush=None, slab=False,
-              phong=False, no_ert=False):
+              phong=False, no_ert=False, need_dtf=True,
+              need_dvol=True):
     if phong and (shade or slab):
         raise NotImplementedError(
             "phong composes with neither the diffuse tap nor slab mode")
@@ -2236,7 +2258,7 @@ def _fwd_rule(scal, org, rays_t, vols, tfl, dims, ray_step, window,
 
 
 def _bwd_rule(dims, ray_step, window, fast, shade, flush, slab, phong,
-              no_ert, res, g):
+              no_ert, need_dtf, need_dvol, res, g):
     scal, org, rays_t, vols, tfl, out, svs = res
     dvs, dtf, dacc = _pallas_bwd(
         scal, org, rays_t, vols, tfl, _pack_gG(g, out),
@@ -2245,7 +2267,8 @@ def _bwd_rule(dims, ray_step, window, fast, shade, flush, slab, phong,
         sv=svs[0] if svs else None,
         sv2=svs[1] if (shade and len(svs) > 1) else None,
         sv_g=(svs[1:4] if (phong and len(svs) > 3) else None),
-        slab=slab, phong=phong, no_ert=no_ert)
+        slab=slab, phong=phong, no_ert=no_ert, need_dtf=need_dtf,
+        need_dvol=need_dvol)
     drays = jnp.zeros_like(rays_t)
     if slab:
         drays = drays.at[:, CH_ACC0, :].set(dacc[:, 0, :])
@@ -2297,7 +2320,8 @@ def _phase_volumes(density, wx, storage=None):
 def render_image_v3(scene, view, ray_threshold=0.95,
                     window=None, fast=False, esl=False,
                     light_kd=0.0, shaded=False, flush=None,
-                    phong=False, plan=None):
+                    phong=False, plan=None, need_dtf=True,
+                    need_dvol=True):
     """Differentiable render -> ``f32[H, W, 4]`` via the v3 kernels.
 
     Semantics match diff.render.render_diff_image (including ``esl``,
@@ -2307,13 +2331,14 @@ def render_image_v3(scene, view, ray_threshold=0.95,
     """
     return render_image_v3_with_ovf(
         scene, view, ray_threshold, window, fast, esl,
-        light_kd, shaded, flush, phong, plan)[0]
+        light_kd, shaded, flush, phong, plan, need_dtf, need_dvol)[0]
 
 
 def render_image_v3_with_ovf(scene, view, ray_threshold=0.95,
                              window=None, fast=False, esl=False,
                              light_kd=0.0, shaded=False, flush=None,
-                             phong=False, plan=None):
+                             phong=False, plan=None, need_dtf=True,
+                             need_dvol=True):
     """As render_image_v3 but also returns the total overflow count."""
     esl_grid = None
     if esl:
@@ -2331,13 +2356,14 @@ def render_image_v3_with_ovf(scene, view, ray_threshold=0.95,
         scene.density, premult, scene.ray_step, view,
         ray_threshold=ray_threshold, window=window, fast=fast,
         esl_grid=esl_grid, light_kd=light_kd, shaded=shaded, flush=flush,
-        phong=phong, plan=plan)
+        phong=phong, plan=plan, need_dtf=need_dtf, need_dvol=need_dvol)
 
 
 def loss_grads_v3_chunked(scene, view, target, n_chunks,
                           ray_threshold=0.95, window=None, fast=False,
                           flush=None, light_kd=0.0, shaded=False,
-                          phong=False, plan=None, esl=False):
+                          phong=False, plan=None, esl=False,
+                          need_dtf=True, need_dvol=True):
     """Full-image MSE loss + scene gradients, accumulated over ray-tile
     chunks -> ``(loss, grads)`` (grads a DiffScene-shaped pytree).
 
@@ -2418,7 +2444,8 @@ def loss_grads_v3_chunked(scene, view, target, n_chunks,
             lp, jnp.zeros(3, jnp.float32)]).reshape(1, 8)
         out = render_tiles_v3(
             scal, org, rays_t, vols, tfl, dims, sc.ray_step, window,
-            fast, bool(shaded), fl, False, bool(phong), no_ert)
+            fast, bool(shaded), fl, False, bool(phong), no_ert,
+            bool(need_dtf), bool(need_dvol))
         tgt_c = jax.lax.dynamic_slice_in_dim(tgt_t, t0, tc, 0)
         diff = out[:, :4, :] - jnp.swapaxes(tgt_c, 1, 2)
         return jnp.sum(diff * diff) / denom
@@ -2510,7 +2537,7 @@ def render_view_v3(density, premult_tf, ray_step, view,
                    ray_threshold=0.95, window=None, fast=False,
                    esl_fn=None, light_kd=0.0, shaded=False,
                    phong=False, flush=None, esl_grid=None, _vjp=True,
-                   plan=None):
+                   plan=None, need_dtf=True, need_dvol=True):
     """Premult-level v3 render -> (f32[H, W, 4], overflow count).
 
     ``density`` is the float grid (D, H, W); ``premult_tf`` the
@@ -2564,7 +2591,7 @@ def render_view_v3(density, premult_tf, ray_step, view,
             scal, org, rays_t, vols, tfl, dims, ray_step,
             window, fast, bool(shaded) and not phong,
             None if flush is None else tuple(flush), False, bool(phong),
-            no_ert)
+            no_ert, bool(need_dtf), bool(need_dvol))
     else:
         # Forward-only rung path (renderer id 5): skip the custom_vjp
         # wrapper entirely. Identical primal; avoids tracing the vjp'd

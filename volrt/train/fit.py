@@ -214,9 +214,13 @@ def fit(
         def loss_fn(scene, view, target, plan=None):
             from volrt.diff import fused as fused_mod
 
+            # Density-only fits skip the backward's dTF scatter
+            # entirely (~10% of the fused step at 256^3) — the
+            # optimizer would zero the TF gradient anyway.
             return fused_mod.l2_loss_fused(
                 scene, view, target, fast=True, plan=plan,
-                window=window, flush=flush)
+                window=window, flush=flush, need_tf_grad=train_tf,
+                need_density_grad=train_density)
     else:
         loss_fn = l2_loss
     if shading:
@@ -233,7 +237,8 @@ def fit(
                     return fused_mod.l2_loss_fused(
                         scene, view, target, fast=True, phong=True,
                         light_kd=light_kd, plan=plan,
-                        window=window, flush=flush)
+                        window=window, flush=flush,
+                        need_tf_grad=train_tf)
             else:
                 def loss_fn(scene, view, target):
                     img = render_diff_image(
@@ -247,7 +252,8 @@ def fit(
                     return fused_mod.l2_loss_fused(
                         scene, view, target, fast=True, shaded=True,
                         light_kd=light_kd, plan=plan,
-                        window=window, flush=flush)
+                        window=window, flush=flush,
+                        need_tf_grad=train_tf)
             else:
                 def loss_fn(scene, view, target):
                     img = render_diff_image(
@@ -281,7 +287,7 @@ def fit(
                     scene, view, target, fast=True, esl=True,
                     shaded=(_sh == "diffuse"), phong=(_sh == "phong"),
                     light_kd=(light_kd if _sh else 0.0),
-                    window=window, flush=flush)
+                    window=window, flush=flush, need_tf_grad=train_tf)
         else:
             def loss_fn(scene, view, target, _sh=shading):
                 img = render_diff_image(
@@ -325,7 +331,7 @@ def fit(
             return l2_loss_grads_v3_sharded(
                 scene, view, target, fused_mesh, fast=True,
                 shading=shading, light_kd=light_kd, plan=plan, esl=esl,
-                window=window, flush=flush)
+                window=window, flush=flush, need_dtf=train_tf)
     elif fused and grad_chunks and grad_chunks > 1:
         from volrt.renderers.pallas.diff_v3 import loss_grads_v3_chunked
 
@@ -336,7 +342,7 @@ def fit(
                 shaded=(shading == "diffuse"),
                 phong=(shading == "phong"), plan=plan, esl=esl,
                 window=None if window is None else tuple(window),
-                flush=flush)
+                flush=flush, need_dtf=train_tf)
     train_step = make_train_step(
         optimizer, loss_fn=loss_fn,
         train_density=train_density, train_tf=train_tf, mesh=mesh,
