@@ -335,10 +335,18 @@ def cmd_fit(args) -> int:
     ]
     log.log_time("rendered %d target views", len(targets))
 
-    # Constant init: zero density has a vanishing TF-lerp gradient.
+    # Init per training target: density fits start from a constant
+    # (zero density has a vanishing TF-lerp gradient); TF fits keep the
+    # true density and start from a flat half-intensity LUT (recovering
+    # the default TF from itself would be a no-op).
+    train = getattr(args, "train", "density")
+    init_density = (gt.density if train == "tf"
+                    else jnp.full(volume.data.shape, 0.3, jnp.float32))
+    init_tf = (jnp.full_like(tf_base, 0.5) if train in ("tf", "both")
+               else tf_base)
     scene = DiffScene(
-        density=jnp.full(volume.data.shape, 0.3, jnp.float32),
-        tf_base=tf_base,
+        density=init_density,
+        tf_base=init_tf,
         ray_step=step,
     )
     mesh = None
@@ -365,9 +373,12 @@ def cmd_fit(args) -> int:
         log.log("auto window over %d poses: %s", len(picks), window)
     elif window is not None:
         window = tuple(int(x) for x in window)
+    train = getattr(args, "train", "density")
     scene, losses = fit(
         scene, targets, steps=args.steps, lr=args.lr,
-        train_tf=False, log_every=max(1, args.steps // 10), logger=log,
+        train_density=(train in ("density", "both")),
+        train_tf=(train in ("tf", "both")),
+        log_every=max(1, args.steps // 10), logger=log,
         checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
@@ -500,6 +511,12 @@ def main(argv=None) -> int:
     # Fits are unshaded unless --shading is given explicitly (the render
     # default of "diffuse" would silently change training targets).
     p.set_defaults(shading=None)
+    p.add_argument("--train", choices=["density", "tf", "both"],
+                   default="density",
+                   help="which scene parameters to optimize (the fused "
+                   "backward skips the machinery for frozen ones: "
+                   "density-only 1.78e9, tf-only 1.92e9 vs joint "
+                   "1.41e9 rays*steps/s at 256^3)")
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=0.05)
     p.add_argument("--checkpoint", default=None,

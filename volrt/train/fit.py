@@ -238,7 +238,8 @@ def fit(
                         scene, view, target, fast=True, phong=True,
                         light_kd=light_kd, plan=plan,
                         window=window, flush=flush,
-                        need_tf_grad=train_tf)
+                        need_tf_grad=train_tf,
+                        need_density_grad=train_density)
             else:
                 def loss_fn(scene, view, target):
                     img = render_diff_image(
@@ -253,7 +254,8 @@ def fit(
                         scene, view, target, fast=True, shaded=True,
                         light_kd=light_kd, plan=plan,
                         window=window, flush=flush,
-                        need_tf_grad=train_tf)
+                        need_tf_grad=train_tf,
+                        need_density_grad=train_density)
             else:
                 def loss_fn(scene, view, target):
                     img = render_diff_image(
@@ -287,7 +289,8 @@ def fit(
                     scene, view, target, fast=True, esl=True,
                     shaded=(_sh == "diffuse"), phong=(_sh == "phong"),
                     light_kd=(light_kd if _sh else 0.0),
-                    window=window, flush=flush, need_tf_grad=train_tf)
+                    window=window, flush=flush, need_tf_grad=train_tf,
+                    need_density_grad=train_density)
         else:
             def loss_fn(scene, view, target, _sh=shading):
                 img = render_diff_image(
@@ -342,7 +345,8 @@ def fit(
                 shaded=(shading == "diffuse"),
                 phong=(shading == "phong"), plan=plan, esl=esl,
                 window=None if window is None else tuple(window),
-                flush=flush, need_dtf=train_tf)
+                flush=flush, need_dtf=train_tf,
+                need_dvol=train_density)
     train_step = make_train_step(
         optimizer, loss_fn=loss_fn,
         train_density=train_density, train_tf=train_tf, mesh=mesh,
