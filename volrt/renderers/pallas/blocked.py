@@ -38,6 +38,7 @@ from volrt.renderers.pallas.common import (
     pad_tf,
     pad_volume_3d_any,
     scalars_array,
+    tpu_compiler_params,
 )
 
 NAME = "pallas-blocked"
@@ -358,6 +359,7 @@ def render_tiles(
                        jnp.uint8),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=tpu_compiler_params(),
         interpret=interpret_mode(),
     )(scal, rays, vol3d, tfp)
 

@@ -17,6 +17,23 @@ def interpret_mode() -> bool:
     return bool(os.environ.get("VOLRT_PALLAS_INTERPRET"))
 
 
+def tpu_compiler_params(vmem_mb: int | None = None):
+    """Mosaic compiler params shared by every windowed kernel.
+
+    Lifts the scoped-VMEM budget from the 16 MB default toward the chip's
+    physical 128 MB: the windowed kernels' stack temporaries scale as
+    ``(R, wz*wy)`` and deterministically exceed 16 MB at heavy-minification
+    configs (rung 4 at 256^3/512^2 needs ~101 MB). Unlike
+    ``--xla_tpu_scoped_vmem_limit_kib`` — which tunneled axon backends
+    reject — ``vmem_limit_bytes`` rides inside the Mosaic kernel config,
+    so it works through remote compile. Env override: VOLRT_VMEM_LIMIT_MB.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    mb = vmem_mb or int(os.environ.get("VOLRT_VMEM_LIMIT_MB", "110"))
+    return pltpu.CompilerParams(vmem_limit_bytes=mb * 1024 * 1024)
+
+
 def pad_volume_2d(volume: Volume) -> jax.Array:
     """Volume as ``f32[D*H, Xpad]`` with x padded to the 128-lane width.
 

@@ -29,7 +29,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from volrt.constants import TF_SIZE
 from volrt.renderers.pallas import layout
-from volrt.renderers.pallas.common import X_LANES, interpret_mode
+from volrt.renderers.pallas.common import (
+    X_LANES,
+    interpret_mode,
+    tpu_compiler_params,
+)
 from volrt.renderers.pallas.diff_tri import (
     _coords,
     _mm,
@@ -443,6 +447,7 @@ def _pallas_fwd(scal, rays, vol, tfp, *, dims, ray_step, window,
                        jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=tpu_compiler_params(),
         interpret=interpret_mode(),
     )(scal, rays, vol, tfp)
 
@@ -485,6 +490,7 @@ def _pallas_bwd(scal, rays, vol, tfp, gG, *, dims, ray_step, window,
             pltpu.SemaphoreType.DMA,
         ],
         input_output_aliases={5: 0},
+        compiler_params=tpu_compiler_params(),
         interpret=interpret_mode(),
     )(scal, rays, vol, tfp, gG, dvol_init)
     return dvol, dtf

@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from volrt.constants import TF_SIZE
 from volrt.renderers.pallas import layout
-from volrt.renderers.pallas.common import interpret_mode
+from volrt.renderers.pallas.common import interpret_mode, tpu_compiler_params
 
 R = layout.RAYS_PER_TILE
 MARGIN = 2
@@ -348,6 +348,7 @@ def _pallas_fwd(scal, rays, vol, tfp, *, dims, ray_step, window,
         out_specs=pl.BlockSpec((1, R, 4), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, R, 4), jnp.float32),
+        compiler_params=tpu_compiler_params(),
         interpret=interpret_mode(),
     )(scal, rays, vol, tfp)
 
@@ -382,6 +383,7 @@ def _pallas_bwd(scal, rays, vol, tfp, gG, *, dims, ray_step, window,
             jax.ShapeDtypeStruct(vol.shape, jnp.float32),
             jax.ShapeDtypeStruct(tfp.shape, jnp.float32),
         ),
+        compiler_params=tpu_compiler_params(),
         interpret=interpret_mode(),
     )(scal, rays, vol, tfp, gG)
     return dvol, dtf

@@ -54,7 +54,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from volrt.constants import SHADE_ALPHA_GATE, SHADE_KD_GATE, TF_SIZE
 from volrt.renderers.pallas import layout
-from volrt.renderers.pallas.common import X_LANES, interpret_mode
+from volrt.renderers.pallas.common import (
+    X_LANES,
+    interpret_mode,
+    tpu_compiler_params,
+)
 
 CH_ACC0 = 10      # packed-ray channel: initial accumulated opacity
 TILE = 16         # 16x16 ray tiles
@@ -2069,6 +2073,7 @@ def _pallas_fwd(scal, org, rays_t, vols, tfl, *, dims, ray_step,
             pltpu.VMEM((2, bz, by, 128), v4[0].dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=tpu_compiler_params(),
         interpret=interpret_mode(),
     )(scal, org, rays_t, *v4, tfl, lutl)
     return outs
@@ -2174,6 +2179,7 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
             pltpu.VMEM((TF_SIZE, R), jnp.float32)]
            if (_DTF_SEP and not shade and not phong) else []),
         input_output_aliases={10: 0, 11: 1, 12: 2, 13: 3},
+        compiler_params=tpu_compiler_params(),
         interpret=interpret_mode(),
     )(scal, org, rays_t, *v4, tfl, lutl, gG, *dv_inits, *sv_ins, sorg)
     dtf = outs[4]

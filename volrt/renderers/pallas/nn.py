@@ -43,6 +43,7 @@ from volrt.renderers.pallas.common import (
     pad_volume_2d,
     pad_tf,
     scalars_array,
+    tpu_compiler_params,
 )
 
 NAME = "pallas-nn"
@@ -191,6 +192,7 @@ def render_float(rc: Raycaster, shade: bool = True) -> jax.Array:
         out_specs=pl.BlockSpec((1, R, 4), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, R, 4), jnp.float32),
+        compiler_params=tpu_compiler_params(),
         interpret=interpret_mode(),
     )(scal, rays, vol2d, tfp)
     return layout.untile_rays(out, w, h)

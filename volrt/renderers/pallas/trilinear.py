@@ -43,6 +43,7 @@ from volrt.renderers.pallas.common import (
     pad_tf,
     pad_volume_3d,
     scalars_array,
+    tpu_compiler_params,
 )
 
 NAME = "pallas-trilinear"
@@ -318,6 +319,7 @@ def render_tiles(
             jax.ShapeDtypeStruct((t, R, 4), jnp.float32),
             jax.ShapeDtypeStruct((t, 8, 128), jnp.float32),
         ),
+        compiler_params=tpu_compiler_params(),
         interpret=interpret_mode(),
     )(scal, rays, vol3d, tfp)
 
