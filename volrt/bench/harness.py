@@ -127,8 +127,16 @@ def make_raycaster_for(cfg: BenchConfig, volume: Volume | None = None,
     )
 
 
-def renderer_fns(rc: Raycaster, renderers: list[int]):
-    """(id, name, fn) for each requested ladder rung applicable to ``rc``."""
+def renderer_fns(rc: Raycaster, renderers: list[int],
+                 stats: bool = False, window=None):
+    """(id, name, fn) for each requested ladder rung applicable to ``rc``.
+
+    ``stats=True``: the windowed rungs (3/4/5) return their full
+    ``(img, overflow, executed_bands)`` tuple (the in-kernel work
+    counters feeding measured MFU) instead of the image alone.
+    ``window``: static (wz, wy) override for rungs 3/4 — the harness's
+    scoped-VMEM fallback ladder passes smaller windows here.
+    """
     from volrt.renderers import get_renderer, renderer_name
 
     out = []
@@ -141,23 +149,41 @@ def renderer_fns(rc: Raycaster, renderers: list[int]):
         if rid != 5 and rc.shading == "phong":
             continue  # gradient Blinn-Phong is a rung-5 capability
         if rid in (3, 4, 5):
-            fn = lambda rc=rc, mod=mod: mod.render_float(rc)[0]
+            kw = {}
+            if window is not None and rid in (3, 4):
+                kw["window"] = tuple(window)
+            if stats:
+                fn = (lambda rc=rc, mod=mod, kw=kw:
+                      mod.render_float_stats(rc, **kw))
+            else:
+                fn = (lambda rc=rc, mod=mod, kw=kw:
+                      mod.render_float(rc, **kw)[0])
         else:
             fn = lambda rc=rc, mod=mod: mod.render_float(rc)
         out.append((rid, renderer_name(rid), fn))
     return out
 
 
-def _nominal_mfu(cfg: BenchConfig, rc: Raycaster, rid: int,
-                 avg_ms: float) -> float | None:
-    """Nominal-march MFU for the windowed gather-matmul rungs (3/4/5):
-    model FLOPs of a full march (every ray, ~2/ray_step steps, one
-    (rows x x_width) one-hot MXU gather per sample) against chip peak.
-    ERT/ESL prune real work below the nominal model, so values CAN
-    exceed 1.0 on early-terminating scenes (the same nominal-step
-    convention as the headline rays*steps/s metric); full-march configs
-    (no_optim) read as true roofline distance. None for the
-    non-windowed rungs (no matmul model applies)."""
+def _is_vmem_oom(msg: str) -> bool:
+    """Deterministic Mosaic scoped-VMEM compile OOM (NOT a transient
+    remote-compile failure — retrying the identical program cannot
+    succeed; shrink the window or skip instead)."""
+    m = msg.lower()
+    return ("vmem" in m and ("out of memory" in m or "scoped" in m
+                             or "exceeded" in m))
+
+
+def _nominal_roofline(cfg: BenchConfig, rc: Raycaster, rid: int,
+                      avg_ms: float) -> float | None:
+    """Nominal roofline multiple for the windowed gather-matmul rungs
+    (3/4/5): model FLOPs of a full march (every ray, ~2/ray_step steps,
+    one (rows x x_width) one-hot MXU gather per sample) over chip peak.
+    NOT a utilization — ERT/ESL prune real work below the nominal
+    model, so values CAN exceed 1.0 on early-terminating scenes (the
+    same nominal-step convention as the headline rays*steps/s metric);
+    full-march configs (no_optim) read as true roofline distance.
+    Measured MFU (executed-band counters) is reported separately.
+    None for the non-windowed rungs (no matmul model applies)."""
     from volrt.utils import profiler as prof_mod
 
     if rid not in (3, 4, 5) or avg_ms <= 0.0:
@@ -231,64 +257,107 @@ def run_suite(
                 # (reference: VolR.cpp:228-230).
                 continue
             rc0 = make_raycaster_for(cfg, volume, camera)
-            fns = renderer_fns(rc0, [rid])
+            fns = renderer_fns(rc0, [rid], stats=True)
             if not fns:
                 continue
             _, name, _ = fns[0]
             timed_out = False
             # Warm both projection modes: `perspective` is a static field,
-            # so ortho and perspective poses compile separately. One
-            # retry absorbs transient remote-compile failures (tunneled
-            # backends return HTTP 500 under compile-helper pressure).
+            # so ortho and perspective poses compile separately. A
+            # deterministic scoped-VMEM compile OOM falls back to a
+            # smaller static window for the rung-3/4 kernels (overflow
+            # counters flag the approximation); only genuinely transient
+            # remote-compile failures (HTTP 500 without a VMEM cause)
+            # retry the identical program.
             warm_err = None
-            for attempt in range(2):
+            window_fb = None
+            for attempt in range(4):
                 try:
                     for wview in (poses[0], poses[1]):
                         result = renderer_fns(
-                            rc0.replace(view=wview), [rid]
+                            rc0.replace(view=wview), [rid],
+                            stats=True, window=window_fb,
                         )[0][2]()
-                        jax.device_get(jnp.sum(result))
+                        img0 = (result[0] if isinstance(result, tuple)
+                                else result)
+                        jax.device_get(jnp.sum(img0))
                     warm_err = None
                     break
                 except Exception as e:  # OOM / unsupported size
                     warm_err = e
-                    if "HTTP 500" not in str(e) and "INTERNAL" not in \
-                            str(e):
-                        break
+                    msg = str(e)
+                    if _is_vmem_oom(msg) and rid in (3, 4):
+                        from volrt.renderers import get_renderer
+
+                        wz, wy = (window_fb or
+                                  get_renderer(rid).default_window(rc0))
+                        window_fb = (max(8, (wz // 2 + 7) & ~7),
+                                     max(8, (wy // 2 + 7) & ~7))
+                        log(f"bench {cfg.name}/{name}: scoped-VMEM OOM; "
+                            f"falling back to window {window_fb}")
+                        continue
+                    if _is_vmem_oom(msg):
+                        break  # deterministic: identical retry is futile
+                    if "HTTP 500" in msg or "INTERNAL" in msg:
+                        continue  # transient remote-compile failure
+                    break
             if warm_err is not None:
                 log(f"bench {cfg.name}/{name}: skipped ({warm_err})")
                 continue
+            if window_fb is not None:
+                prof.note(cfg.name, name, window_fallback=1.0)
             # Build every pose's closure before the timed region so frame
             # timings measure device work, not Python dispatch setup.
+            frame_rcs = [rc0.replace(view=poses[f % len(poses)])
+                         for f in range(frames)]
             frame_fns = [
-                renderer_fns(rc0.replace(view=poses[f % len(poses)]),
-                             [rid])[0][2]
-                for f in range(frames)
+                renderer_fns(frc, [rid], stats=True,
+                             window=window_fb)[0][2]
+                for frc in frame_rcs
             ]
             trace_cm = (
                 jax.profiler.trace(trace_dir) if trace_dir
                 else contextlib.nullcontext()
             )
+            flops_acc, flops_frames = 0.0, 0
             with trace_cm:
                 for f, fn in enumerate(frame_fns):
                     prof.start(cfg.name, name)
                     try:
                         result = fn()
-                        jax.device_get(jnp.sum(result))
+                        img0 = (result[0] if isinstance(result, tuple)
+                                else result)
+                        jax.device_get(jnp.sum(img0))
                     except Exception as e:
                         log(f"bench {cfg.name}/{name}: skipped ({e})")
                         timed_out = True
                         break
                     ms = prof.stop()
+                    if isinstance(result, tuple) and len(result) == 3:
+                        # Executed-band counter -> real FLOPs this frame
+                        # (measured MFU; ESL/ERT pruning reflected).
+                        from volrt.renderers import get_renderer
+
+                        bands = float(jax.device_get(result[2]))
+                        flops_acc += get_renderer(rid).bands_flops(
+                            frame_rcs[f], bands, window_fb)
+                        flops_frames += 1
                     if ms > MAX_BENCH_SAMPLE_MS:
                         timed_out = True
                         break
             if timed_out:
                 continue
-            u = _nominal_mfu(
-                cfg, rc0, rid, prof.stats[cfg.name][name].avg_ms)
-            if u is not None:
-                prof.note(cfg.name, name, mfu=u)
+            avg_ms = prof.stats[cfg.name][name].avg_ms
+            if flops_frames:
+                from volrt.utils import profiler as prof_mod
+
+                u = prof_mod.mfu(
+                    avg_ms, flops_acc / flops_frames, fast=False)
+                if u > 0.0:
+                    prof.note(cfg.name, name, mfu=u)
+            rx = _nominal_roofline(cfg, rc0, rid, avg_ms)
+            if rx is not None:
+                prof.note(cfg.name, name, roofline_x=rx)
         log(f"bench config {cfg.name} done")
     return prof
 
@@ -360,7 +429,10 @@ def run_diff_suite(
                 break
         if fused and not timed_out:
             # Roofline column (SURVEY §5's Profiler-equivalent): model
-            # FLOPs of the nominal fwd+bwd march vs chip peak.
+            # FLOPs of the nominal fwd+bwd march over chip peak. Noted
+            # as roofline_x, not mfu: ERT can prune real work below the
+            # nominal model (bench.py's headline MFU disables ERT and
+            # stays a true utilization).
             from volrt.renderers.pallas.diff_v3 import (
                 _norm_window, default_window)
             from volrt.utils import profiler as prof_mod
@@ -373,7 +445,7 @@ def run_diff_suite(
             u = prof_mod.mfu(
                 prof.stats[cfg][name].avg_ms, flops, fast=True)
             if u > 0.0:
-                prof.note(cfg, name, mfu=u)
+                prof.note(cfg, name, roofline_x=u)
         log(f"bench config {cfg} done"
             + (" (timed out)" if timed_out else ""))
     return prof

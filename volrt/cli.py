@@ -292,11 +292,13 @@ def cmd_bench(args) -> int:
     log.log(prof.print_max())
     log.log(prof.print_samples())
     log.log(prof.print_mfu())
+    log.log(prof.print_roofline())
     if args.output:
         with open(args.output, "w") as f:
             f.write(prof.print_avg() + "\n\n" + prof.print_max()
                     + "\n\n" + prof.print_samples()
-                    + "\n\n" + prof.print_mfu() + "\n")
+                    + "\n\n" + prof.print_mfu()
+                    + "\n\n" + prof.print_roofline() + "\n")
     return 0
 
 
@@ -441,15 +443,13 @@ def main(argv=None) -> int:
                 "jax_compilation_cache_dir", "/root/.jax_cache")
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 1.0)
-            # NOTE: the default 16 MB scoped-VMEM budget rejects the
-            # windowed kernels' scratch at heavy-minification configs
-            # (rung 5 at 256^3 / 256^2 misses by ~2 MB; rung 4 by far
-            # more — its per-tile window grows as 1/viewport). Those
-            # configs fall back to rung 1 (xla-batched) via the bench
-            # skip / --nosafe machinery. On directly-attached TPUs,
-            # XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536 lifts the
-            # bound; the axon tunnel's client-side XLA rejects
-            # TPU-server flags, so it cannot be set from here.
+            # Scoped-VMEM: every windowed pallas_call passes
+            # CompilerParams(vmem_limit_bytes=110 MB) — see
+            # renderers/pallas/common.py:tpu_compiler_params — which
+            # rides the Mosaic kernel config and therefore works
+            # through tunneled remote compile (unlike
+            # --xla_tpu_scoped_vmem_limit_kib, which the tunnel's
+            # client-side XLA rejects). VOLRT_VMEM_LIMIT_MB overrides.
     except Exception:
         pass
     parser = argparse.ArgumentParser(

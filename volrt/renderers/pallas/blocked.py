@@ -289,9 +289,16 @@ def _kernel(
         jnp.float32(0.0), zi, zi, zi, zi,
     )
     res = jax.lax.while_loop(cond, body, init)
+    i_exit = res[0]
     accr, accg, accb, acca, novf = res[2], res[3], res[4], res[5], res[7]
     out_ref[0] = jnp.concatenate([accr, accg, accb, acca], axis=1)
-    ovf_ref[0] = jnp.full((8, 128), novf, jnp.float32)
+    # Row 0: overflow events; row 1: executed march bands (see
+    # trilinear.py — the measured-MFU work counter).
+    ovf_ref[0] = jnp.concatenate([
+        jnp.full((1, 128), novf, jnp.float32),
+        jnp.full((1, 128), i_exit.astype(jnp.float32), jnp.float32),
+        jnp.zeros((6, 128), jnp.float32),
+    ], axis=0)
 
 
 def default_window(rc: Raycaster) -> tuple[int, int]:
@@ -395,3 +402,38 @@ def render(rc: Raycaster) -> jax.Array:
     """Render to ``uint8[H, W, 4]``."""
     img, _ = render_float(rc)
     return sampling.write_color(img)
+
+
+@functools.partial(jax.jit, static_argnames=("shade", "window", "fast"))
+def render_float_stats(
+    rc: Raycaster, shade: bool = True,
+    window: tuple[int, int] | None = None,
+    fast: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """``render_float`` plus the executed-band count (see trilinear.py)."""
+    if rc.interpolation != "trilinear":
+        raise ValueError("pallas-blocked renders trilinear mode only")
+    w, h = rc.view.dims
+    rays = layout.prepare_ray_tiles(rc)
+    vol3d = pad_volume_3d_any(rc.volume, jnp.uint8)
+    tfp = pad_tf(rc.transfer_fn)
+    scal = scalars_array(rc)
+    if window is None:
+        window = default_window(rc)
+    out, ovf = render_tiles(
+        scal, rays, vol3d, tfp,
+        dims=rc.volume.dims, ray_step=rc.ray_step, window=window,
+        fast=fast, shade=shade,
+    )
+    return (layout.untile_rays(out, w, h), jnp.sum(ovf[:, 0, 0]),
+            jnp.sum(ovf[:, 1, 0]))
+
+
+def bands_flops(rc: Raycaster, bands: float,
+                window: tuple[int, int] | None = None) -> float:
+    """Executed MXU FLOPs for ``bands`` march bands (x-window lanes wxb)."""
+    wz, wy = window or default_window(rc)
+    vw = rc.volume.dims[0]
+    wxb = WX if vw <= WX else 2 * WX
+    taps = 2 if float(rc.light_kd) > 0.0 else 1
+    return bands * 2.0 * R * wz * wy * wxb * taps

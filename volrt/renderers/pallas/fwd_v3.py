@@ -72,3 +72,43 @@ def render(rc: Raycaster) -> jax.Array:
     """Render to ``uint8[H, W, 4]``."""
     img, _ = render_float(rc)
     return sampling.write_color(img)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "fast"))
+def render_float_stats(
+    rc: Raycaster,
+    window: tuple[int, int] | tuple[int, int, int] | None = None,
+    fast: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """``render_float`` plus the executed-band count (total march bands
+    run across tiles, post-ESL-compaction and post-ERT — the
+    measured-MFU work counter; see diff_v3._fwd_kernel row 5)."""
+    if rc.interpolation != "trilinear":
+        raise ValueError("pallas-v3 renders trilinear mode only")
+    esl_grid = (rc.esl_empty, rc.esl_block_dims) if rc.esl else None
+    density = rc.volume.data.astype(jnp.float32) / 255.0
+    shaded = rc.shading == "diffuse"
+    return render_view_v3(
+        density, rc.transfer_fn.astype(jnp.float32), rc.ray_step,
+        rc.view, ray_threshold=rc.ray_threshold, window=window,
+        fast=fast, esl_grid=esl_grid,
+        light_kd=rc.light_kd, shaded=shaded,
+        phong=(rc.shading == "phong"),
+        _vjp=False, stats=True)
+
+
+def bands_flops(rc: Raycaster, bands: float,
+                window=None) -> float:
+    """Executed MXU FLOPs for ``bands`` march bands: one
+    ``(R, wz*wy) x (wz*wy, wx)`` gather matmul per band per tap —
+    1 tap unshaded, 2 with the diffuse light tap, 3 with phong's two
+    extra shifted-weight gradient matmuls (gx reuses the base xrows)."""
+    from volrt.renderers.pallas.diff_v3 import _view_window
+    from volrt.renderers.pallas.layout import RAYS_PER_TILE
+
+    dims = rc.volume.dims
+    shaded = rc.shading == "diffuse" and float(rc.light_kd) > 0.0
+    phong = rc.shading == "phong"
+    win = _view_window(dims, rc.view, window, shaded, phong)
+    taps = 3 if phong else (2 if shaded else 1)
+    return bands * 2.0 * RAYS_PER_TILE * win[0] * win[1] * win[2] * taps

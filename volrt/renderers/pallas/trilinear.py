@@ -242,11 +242,19 @@ def _kernel(
     init = (
         0, k0, zeros, zeros, zeros, zeros, 1.0 - alive0, jnp.float32(0.0)
     )
-    _, _, accr, accg, accb, acca, _, novf = jax.lax.while_loop(
+    i_exit, _, accr, accg, accb, acca, _, novf = jax.lax.while_loop(
         cond, body, init
     )
     out_ref[0] = jnp.concatenate([accr, accg, accb, acca], axis=1)
-    ovf_ref[0] = jnp.full((8, 128), novf, jnp.float32)
+    # Row 0: window-overflow events; row 1: executed march bands (the
+    # while-loop exit count — each band runs the full (R, wz*wy) x
+    # (wz*wy, 128) gather matmul regardless of per-ray liveness, so this
+    # is the tile's real MXU work unit for measured-MFU accounting).
+    ovf_ref[0] = jnp.concatenate([
+        jnp.full((1, 128), novf, jnp.float32),
+        jnp.full((1, 128), i_exit.astype(jnp.float32), jnp.float32),
+        jnp.zeros((6, 128), jnp.float32),
+    ], axis=0)
 
 
 def default_window(rc: Raycaster) -> tuple[int, int]:
@@ -355,6 +363,42 @@ def render(rc: Raycaster) -> jax.Array:
     """Render to ``uint8[H, W, 4]``."""
     img, _ = render_float(rc)
     return sampling.write_color(img)
+
+
+@functools.partial(jax.jit, static_argnames=("shade", "window", "fast"))
+def render_float_stats(
+    rc: Raycaster, shade: bool = True,
+    window: tuple[int, int] | None = None,
+    fast: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """``render_float`` plus the executed-band count (total march bands
+    run across tiles — the measured-MFU work counter; see ovf row 1)."""
+    if rc.interpolation != "trilinear":
+        raise ValueError("pallas-trilinear renders trilinear mode only")
+    w, h = rc.view.dims
+    rays = layout.prepare_ray_tiles(rc)
+    vol3d = pad_volume_3d(rc.volume)
+    tfp = pad_tf(rc.transfer_fn)
+    scal = scalars_array(rc)
+    if window is None:
+        window = default_window(rc)
+    out, ovf = render_tiles(
+        scal, rays, vol3d, tfp,
+        dims=rc.volume.dims, ray_step=rc.ray_step, window=window,
+        fast=fast, shade=shade,
+    )
+    return (layout.untile_rays(out, w, h), jnp.sum(ovf[:, 0, 0]),
+            jnp.sum(ovf[:, 1, 0]))
+
+
+def bands_flops(rc: Raycaster, bands: float,
+                window: tuple[int, int] | None = None) -> float:
+    """Executed MXU FLOPs for ``bands`` march bands: each band runs one
+    ``(R, wz*wy) x (wz*wy, 128)`` gather matmul per tap (x2 when the
+    diffuse light tap is live)."""
+    wz, wy = window or default_window(rc)
+    taps = 2 if float(rc.light_kd) > 0.0 else 1
+    return bands * 2.0 * R * wz * wy * 128 * taps
 
 
 # The round-1 "v2" compact-state kernel that lived here is superseded by

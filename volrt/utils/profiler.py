@@ -112,24 +112,35 @@ class Profiler:
         """Attach derived metrics (e.g. ``mfu=0.41``) to a cell."""
         self.notes[config][renderer].update(metrics)
 
-    def print_mfu(self) -> str:
-        """Nominal-MFU table (model FLOPs of a FULL march at nominal
-        steps vs chip peak — the roofline column the reference Profiler
-        has no analog for). Values above 1.0 mean ERT/ESL pruned real
-        work below the nominal model (a feature, not a measurement
-        error); read full-march configs (no_optim) for true roofline
-        distance. Blank where no model is derivable (non-windowed
-        rungs) or the chip peak is unknown (CPU runs)."""
+    def _notes_table(self, key: str) -> str:
         renderers = sorted({r for cfg in self.notes.values() for r in cfg})
         lines = ["config," + ",".join(renderers)]
         for config, per_r in self.notes.items():
             row = [config]
             for r in renderers:
-                v = per_r.get(r, {}).get("mfu")
+                v = per_r.get(r, {}).get(key)
                 row.append("" if v is None else f"{v:.4f}")
             lines.append(",".join(row))
-        return ("nominal mfu (full-march model; >1 = ERT/ESL pruned "
-                "work):\n" + "\n".join(lines))
+        return "\n".join(lines)
+
+    def print_mfu(self) -> str:
+        """Measured-MFU table: FLOPs the kernel actually executed
+        (in-kernel executed-band counters x the per-band gather-matmul
+        cost — ESL compaction and ERT exit both reflected) against chip
+        peak. Always <= 1 by construction. Blank where no counter is
+        available (non-windowed rungs) or the chip peak is unknown
+        (CPU runs)."""
+        return "mfu (executed FLOPs / peak):\n" + self._notes_table("mfu")
+
+    def print_roofline(self) -> str:
+        """Nominal roofline-multiple table: model FLOPs of a FULL march
+        at nominal steps over chip peak — NOT a utilization (ERT/ESL
+        prune real work below the nominal model, so values above 1.0
+        mean the optimizations beat the brute-force roofline; the
+        reference Profiler has no analog)."""
+        return ("nominal_roofline_x (full-march model / peak; NOT a "
+                "utilization — >1 = ERT/ESL pruned work):\n"
+                + self._notes_table("roofline_x"))
 
     def reset(self) -> None:
         self.stats.clear()
