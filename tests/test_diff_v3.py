@@ -866,3 +866,57 @@ class TestAutoWindow:
                     np.asarray(img), ref, atol=1e-6)
             else:
                 ref = np.asarray(img)
+
+
+class TestEslTfTrap:
+    """The ESL TF-gradient trap (VERDICT round-4 #8) demonstrated and
+    mitigated: under esl=True, TF entries whose density range the
+    running TF maps to zero opacity receive no cotangent (the empty
+    grid compacts those samples away), so a trained TF can never
+    "switch on" such a range — unless fit(esl_refresh_every=N)
+    periodically runs a full march."""
+
+    def _setup(self):
+        from volrt.diff.render import DiffScene
+
+        # All density mass at ~200/255 -> TF entries around index 100;
+        # the trainable TF starts with ZERO opacity there (and
+        # everywhere), so every ESL block derives empty.
+        vol = np.zeros((16, 16, 16), np.uint8)
+        vol[4:12, 4:12, 4:12] = 200
+        tf_open = jnp.asarray(default_transfer_fn())
+        scene_gt = scene_from_volume(jnp.asarray(vol), tf_open, 0.15)
+        cam = Camera(dims=(24, 24))
+        cam.set_camera_position((25.0, 10.0, 0.0))
+        view = cam.view()
+        target = render_diff_image(scene_gt, view)
+        tf_closed = tf_open.at[:, 3].set(0.0)
+        scene0 = DiffScene(density=scene_gt.density,
+                           tf_base=tf_closed, ray_step=0.15)
+        return scene0, view, target
+
+    def test_pure_esl_training_is_trapped(self):
+        """esl=True alone: the TF alpha stays pinned at zero — zero
+        gradient from compacted samples — and the loss never moves."""
+        from volrt.train.fit import fit
+
+        scene0, view, target = self._setup()
+        fitted, losses = fit(
+            scene0, [(view, target)], steps=4, lr=0.05,
+            train_density=False, fused=True, esl=True)
+        assert float(jnp.max(fitted.tf_base[:, 3])) == 0.0
+        np.testing.assert_allclose(losses[-1], losses[0], rtol=1e-6)
+
+    def test_esl_refresh_escapes_the_trap(self):
+        """esl_refresh_every=2: the periodic full march hands the
+        zero-opacity TF entries their cotangent, the TF opens, and the
+        loss decreases below the trapped plateau."""
+        from volrt.train.fit import fit
+
+        scene0, view, target = self._setup()
+        fitted, losses = fit(
+            scene0, [(view, target)], steps=4, lr=0.05,
+            train_density=False, fused=True, esl=True,
+            esl_refresh_every=2)
+        assert float(jnp.max(fitted.tf_base[:, 3])) > 0.0
+        assert losses[-1] < losses[0]

@@ -40,17 +40,23 @@ def _pad_tf_premult(tf_base: jax.Array) -> jax.Array:
     return jnp.pad(premult, ((0, 0), (0, X_LANES - 4)))
 
 
-def _v3_fits(scene, view) -> bool:
+def _v3_fits(scene, view, window=None) -> bool:
     """The v3 lane-major kernels require every 8x8-ray tile's per-band
     footprint to fit one 128-lane x window: true whenever the viewport
     resolution is in the same ballpark as the volume resolution (all
     production/training configs). Heavily minified renders fall back to
-    the round-1 blocked kernels."""
+    the round-1 blocked kernels. An explicit pose-tuned ``window``
+    overrides the conservative default-window estimate (its validity is
+    enforced by the plan replay / in-kernel overflow counters — e.g.
+    the G=64 probes, whose default windows overshoot the envelope)."""
     from volrt.renderers.pallas import diff_v3
 
     d, h, w = scene.density.shape
-    wz, wy, _ = diff_v3.default_window(
-        (w, h, d), view.dims, view.perspective)
+    if window is not None:
+        wz = int(window[0])
+    else:
+        wz, _, _ = diff_v3.default_window(
+            (w, h, d), view.dims, view.perspective)
     span = wz + diff_v3.G  # footprint + in-group drift
     return span + 2 * diff_v3.MARGIN + 8 <= 112
 
@@ -86,7 +92,7 @@ def render_image_fused(
 
     d, h, w = scene.density.shape
     dims = (w, h, d)
-    if blocked is None and _v3_fits(scene, view):
+    if blocked is None and _v3_fits(scene, view, window):
         from volrt.renderers.pallas.diff_v3 import render_image_v3
 
         return render_image_v3(

@@ -348,12 +348,14 @@ def render_volume_sharded(
     :func:`shard_slabs_to_devices`) skip the in-graph slab stack — build
     them with ``halo=shading_halo(D, shading)`` when shading.
 
-    ``shading`` ("diffuse" | "phong", XLA backend only): per-sample
-    shading with the unsharded diff renderer's exact semantics. The
-    slabs get a wider halo so every light/gradient tap resolves
-    slab-locally; shading alters RGB only, so the cross-slab opacity
-    scan and ERT are unchanged. The pallas slab backend stays unshaded
-    (the v3 slab kernel does not carry the shade taps).
+    ``shading``: per-sample shading with the unsharded diff renderer's
+    exact semantics. The slabs get a wider halo so every light/gradient
+    tap resolves slab-locally; shading alters RGB only, so the
+    cross-slab opacity scan and ERT are unchanged. "diffuse" (the
+    reference one-tap shade) runs on BOTH backends — the pallas slab
+    kernel carries the shade tap (round-5; the differentiable path
+    flows its light-tap cotangent too) — "phong" on the XLA backend
+    only.
 
     ``esl=True`` (pallas backend only): plan-time empty-group
     compaction per slab — each device's march plan drops groups whose
@@ -362,10 +364,11 @@ def render_volume_sharded(
     space costs zero kernel time on every slab. Image-exact (the usual
     skipped-TF-gradient caveat of ESL training applies).
     """
-    if shading and backend == "pallas":
+    if shading == "phong" and backend == "pallas":
         raise NotImplementedError(
-            "shading in volume-sharded mode uses the XLA backend "
-            "(backend='xla'); the pallas slab kernel is unshaded")
+            "phong in volume-sharded mode uses the XLA backend "
+            "(backend='xla'); the pallas slab kernel carries the "
+            "diffuse tap only (shading='diffuse')")
     if esl and backend != "pallas":
         raise NotImplementedError(
             "esl in volume-sharded mode uses the pallas backend "
@@ -414,14 +417,18 @@ def _render_volume_sharded(scene, view, mesh, ray_threshold,
 
             eg = (empty_g, esl_block) if esl else None
             density = slab_block[0].astype(jnp.float32)
-            # Pass 1: slab opacity (unseeded march, ERT off).
+            shaded = shading == "diffuse"
+            # Pass 1: slab opacity (unseeded march, ERT off; shading
+            # alters RGB only, so the prepass stays unshaded).
             a_i = render_slab_v3(
                 density, premult, ray_step, view, z_start, d,
-                ray_threshold=2.0, esl_grid=eg)[0][..., 3]
+                ray_threshold=2.0, esl_grid=eg, halo=halo)[0][..., 3]
             p_i = _opacity_exclusive_scan(a_i, n, reverse)
             acc = render_slab_v3(
                 density, premult, ray_step, view, z_start, d,
-                ray_threshold=ray_threshold, acc0=p_i, esl_grid=eg)[0]
+                ray_threshold=ray_threshold, acc0=p_i, esl_grid=eg,
+                halo=halo, shaded=shaded,
+                light_kd=(light_kd if shaded else 0.0))[0]
         else:
             # Pass 1: slab opacity (shading alters RGB only).
             a_i = _slab_march(

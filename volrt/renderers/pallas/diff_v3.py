@@ -160,6 +160,18 @@ _DTF_BF16 = False
 # default OFF.
 _DTF_SEP = False
 
+# K-merged dTF scatter (unshaded/slab paths): the G per-band
+# (TF_SIZE, R) @ (R, 8) one-hot matmuls of a group collapse into ONE
+# (TF_SIZE, G*R) @ (G*R, 8) K-streamed matmul — same MACs, 1/G the
+# matmul issues (ROADMAP round-4's "(G, R) -> (1, G*R) lane relayout"
+# question). All inputs (tt8, dcr8..dca8) already exist group-batched
+# before the band loop, so the merge costs only the lane relayout:
+# "reshape" lowers (G, R) -> (1, G*R) via jnp.reshape; "concat" builds
+# the same layout from G explicit (1, R) lane-concats (the fallback if
+# Mosaic's reshape relayout is slow/unsupported). Empty string = off
+# (per-band path).
+_DTF_KMERGE = os.environ.get("VOLRT_DTF_KMERGE", "")
+
 
 def _expand_taps(wzw, wyw, wz, wy, dtype):
     """(wz, R) x (wy, R) hat strips -> (wz*wy, R) tap matrix, row-major
@@ -741,9 +753,12 @@ def _geometry(rays, b0, step, dims, z_off=None, local_d=None):
     return tx, ty, tz, m_ana, (px, py, pz)
 
 
-def _light_coords(pw, scal_ref, dims):
+def _light_coords(pw, scal_ref, dims, z_off=None, local_d=None):
     """Voxel coords of the diffuse light tap: positions offset by
-    SHADE_LIGHT_OFFSET toward the light (reference: RaycasterBase.h:91)."""
+    SHADE_LIGHT_OFFSET toward the light (reference: RaycasterBase.h:91).
+    ``z_off``/``local_d`` remap into Z-slab-local rows (volume-sharded
+    mode) exactly like :func:`_geometry`; the caller's slab halo must
+    cover the tap's z reach (:func:`volrt.dist.volume_sharded.shading_halo`)."""
     from volrt.constants import SHADE_LIGHT_OFFSET
 
     w, h, d = dims
@@ -758,6 +773,8 @@ def _light_coords(pw, scal_ref, dims):
     tx2 = jnp.clip((px2 + 1.0) * (0.5 * w) - 0.5, 0.0, w - 1.0)
     ty2 = jnp.clip((py2 + 1.0) * (0.5 * h) - 0.5, 0.0, h - 1.0)
     tz2 = jnp.clip((pz2 + 1.0) * (0.5 * d) - 0.5, 0.0, d - 1.0)
+    if z_off is not None:
+        tz2 = jnp.clip(tz2 - z_off, 0.0, local_d - 1.0)
     return tx2, ty2, tz2
 
 
@@ -1054,7 +1071,10 @@ def _fwd_kernel(
             z_off=(scal_ref[0, 5] if slab else None), local_d=vref_d)
 
         if shade:
-            tx2, ty2, tz2 = _light_coords(pw, scal_ref, dims)
+            tx2, ty2, tz2 = _light_coords(
+                pw, scal_ref, dims,
+                z_off=(scal_ref[0, 5] if slab else None),
+                local_d=float(v0_ref.shape[0]))
         svals, ovfs, svals2, ovfs2 = [], [], [], []
         grads = []
         w_, h_, d_ = dims
@@ -1273,9 +1293,16 @@ def _fwd_kernel(
     def _():
         wait_brick(B_exit, B_exit & 1)
 
+    # Row 5, lane-uniform: executed march bands (B_exit groups x G bands
+    # — every executed group runs its full per-band gather matmuls for
+    # all R rays regardless of liveness, so this is the tile's real MXU
+    # work unit for measured-MFU accounting; ESL compaction and ERT exit
+    # are both reflected in B_exit).
+    nbands = jnp.full(
+        (1, R), (B_exit * G).astype(jnp.float32), jnp.float32)
     out_ref[0] = jnp.concatenate(
-        [accr, accg, accb, acca, novf,
-         jnp.zeros((3, R), jnp.float32)], axis=0)
+        [accr, accg, accb, acca, novf, nbands,
+         jnp.zeros((2, R), jnp.float32)], axis=0)
 
 
 def _bwd_kernel(
@@ -1524,7 +1551,10 @@ def _bwd_kernel(
         # forward's streamed HBM copy when available (have_sv), else
         # replay the gather matmuls against the brick.
         if shade:
-            tx2, ty2, tz2 = _light_coords(pw, scal_ref, dims)
+            tx2, ty2, tz2 = _light_coords(
+                pw, scal_ref, dims,
+                z_off=(scal_ref[0, 5] if slab else None),
+                local_d=float(v0_ref.shape[0]))
         w_, h_, d_ = dims
         if have_sv:
             sv8 = sv_in_ref[0, pl.ds(B * G, G), :]
@@ -1753,6 +1783,41 @@ def _bwd_kernel(
                  dca8[g:g + 1], jnp.zeros((4, R), jnp.float32)],
                 axis=0)                              # (8, R)
 
+        use_kmerge = (bool(_DTF_KMERGE) and need_dtf
+                      and not shade and not phong
+                      and "dtf" not in abl and "bandtail" not in abl)
+        if use_kmerge:
+            # One (TF_SIZE, G*R) @ (G*R, 8) matmul replaces the group's
+            # G per-band N=8 matmuls (see _DTF_KMERGE above). Same
+            # contraction, G-fold fewer MXU issues.
+            GR = G * R
+
+            def _flat(a):
+                if _DTF_KMERGE == "concat":
+                    return jnp.concatenate(
+                        [a[g:g + 1, :R] for g in range(G)], axis=1)
+                return a[:, :R].reshape(1, GR)
+
+            tt_flat = _flat(tt8)
+            brow_big = jax.lax.broadcasted_iota(
+                jnp.int32, (TF_SIZE, GR), 0).astype(jnp.float32)
+            ohb = jnp.maximum(0.0, 1.0 - jnp.abs(brow_big - tt_flat))
+            dcol_big = jnp.concatenate(
+                [_flat(dcr8), _flat(dcg8), _flat(dcb8), _flat(dca8),
+                 jnp.zeros((4, GR), jnp.float32)], axis=0)  # (8, GR)
+            if _DTF_BF16 and fast:
+                tfc_big = jax.lax.dot_general(
+                    ohb.astype(jnp.bfloat16),
+                    dcol_big.astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                tfc_big = jax.lax.dot_general(
+                    ohb, dcol_big, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec)                  # (TF_SIZE, 8)
+            dtfacc_ref[...] += tfc_big
+
         dtf_g = None
         for g in (() if "bandtail" in abl else range(G)):
             # dTF scatter. Separable path (use_sep): accumulate the
@@ -1766,7 +1831,7 @@ def _bwd_kernel(
             # into an integer-equality one-hot with the 2-tap weights
             # folded into dcol costs 288.9 vs 243.9 ms — the second
             # matmul + accumulator exceed the 4-pass hat build.)
-            if need_dtf and "dtf" not in abl:
+            if need_dtf and "dtf" not in abl and not use_kmerge:
                 if "dtfoh" in abl:
                     # Constant one-hot (build skipped, matmul kept):
                     # isolates the (TF_SIZE, R) hat build's VPU share
@@ -2543,7 +2608,8 @@ def render_view_v3(density, premult_tf, ray_step, view,
                    ray_threshold=0.95, window=None, fast=False,
                    esl_fn=None, light_kd=0.0, shaded=False,
                    phong=False, flush=None, esl_grid=None, _vjp=True,
-                   plan=None, need_dtf=True, need_dvol=True):
+                   plan=None, need_dtf=True, need_dvol=True,
+                   stats=False):
     """Premult-level v3 render -> (f32[H, W, 4], overflow count).
 
     ``density`` is the float grid (D, H, W); ``premult_tf`` the
@@ -2610,6 +2676,10 @@ def render_view_v3(density, premult_tf, ray_step, view,
             no_ert=no_ert)
     colors = jnp.swapaxes(out[:, :4, :], 1, 2)    # (T, R, 4)
     img = layout.untile_rays(colors, wv, hv, tile_w=TILE, tile_h=TILE)
+    if stats:
+        # Row 5 is lane-uniform per tile: executed march bands (the
+        # measured-MFU work counter — see _fwd_kernel).
+        return img, jnp.sum(out[:, 4, :]), jnp.sum(out[:, 5, 0])
     return img, jnp.sum(out[:, 4, :])
 
 # ---------------------------------------------------------------------------
@@ -2619,12 +2689,17 @@ def render_view_v3(density, premult_tf, ray_step, view,
 
 def render_slab_v3(slab_density, premult_tf, ray_step, view,
                    z_start, full_d, ray_threshold=0.95, acc0=None,
-                   window=None, fast=False, esl_grid=None):
+                   window=None, fast=False, esl_grid=None,
+                   halo=1, shaded=False, light_kd=0.0):
     """March one Z-slab's global-lattice samples through the v3 forward
     kernel -> ``(f32[H, W, 4], overflow)``.
 
-    ``slab_density (sd + 2, H, W)`` covers global z voxels
-    ``[z_start - 1, z_start + sd]`` (one-voxel trilinear halo);
+    ``slab_density (sd + 2*halo, H, W)`` covers global z voxels
+    ``[z_start - halo, z_start + sd + halo - 1]`` (``halo=1`` covers
+    trilinear taps; ``shaded=True`` — the reference's one-tap diffuse,
+    applied slab-locally with ``light_kd``/``view.light_pos`` — needs
+    ``halo >= volrt.dist.volume_sharded.shading_halo(full_d,
+    "diffuse")`` so the light tap resolves in-slab);
     ``z_start`` may be traced (shard_map axis index). ``acc0 (H, W)``
     seeds each ray's accumulated opacity (the cross-slab ERT /
     transmittance-prescaling input); the returned alpha channel includes
@@ -2639,12 +2714,20 @@ def render_slab_v3(slab_density, premult_tf, ray_step, view,
     global z before the block test.
     """
     sdl, h, w = slab_density.shape
-    sd = sdl - 2
+    sd = sdl - 2 * halo
     dims = (w, h, full_d)
     wv, hv = view.dims
     if window is None:
         window = default_window(
             (w, h, sdl), view.dims, view.perspective)
+        if shaded:
+            # Light-tap reach (see _view_window's shaded widening),
+            # clamped to the padded slab extent.
+            off = int(0.01 * 0.5 * max(dims)) + 2
+            window = (
+                min(window[0] + off, -(-sdl // 8) * 8),
+                min(-(-(window[1] + off) // 8) * 8, -(-h // 8) * 8),
+                window[2])
     window = _norm_window(window)
     if len(window) == 5:
         window = window + (0,)  # xbox opt-in only (see _view_window)
@@ -2672,11 +2755,12 @@ def render_slab_v3(slab_density, premult_tf, ray_step, view,
 
     tiles = _pack_tiles(o, dvec, k0, k_out, alive, a0, view, ray_step)
     rays_t = jnp.swapaxes(tiles, 1, 2)
-    z_off = jnp.float32(z_start - 1)
-    scal = jnp.stack([
-        jnp.asarray(ray_threshold, jnp.float32),
-        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
-        jnp.float32(0.0), z_off, jnp.float32(0.0), jnp.float32(0.0),
+    z_off = jnp.float32(z_start - halo)
+    lp = view.light_pos.astype(jnp.float32).reshape(3)
+    scal = jnp.concatenate([
+        jnp.asarray(ray_threshold, jnp.float32).reshape(1),
+        jnp.asarray(light_kd, jnp.float32).reshape(1),
+        lp, z_off.reshape(1), jnp.zeros(2, jnp.float32),
     ]).reshape(1, 8)
 
     vols = _phase_volumes(
@@ -2692,7 +2776,7 @@ def render_slab_v3(slab_density, premult_tf, ray_step, view,
     tfl = jnp.pad(premult_tf, ((0, 0), (0, 4)))
     out = render_tiles_v3(
         scal, org, rays_t, vols, tfl, dims, ray_step, window,
-        fast, False, None, True)
+        fast, bool(shaded), None, True)
     colors = jnp.swapaxes(out[:, :4, :], 1, 2)
     img = layout.untile_rays(colors, wv, hv, tile_w=TILE, tile_h=TILE)
     return img, jnp.sum(out[:, 4, :])

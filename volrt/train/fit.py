@@ -179,6 +179,7 @@ def fit(
     shading: str | None = None,
     light_kd: float = 0.6,
     esl: bool = False,
+    esl_refresh_every: int = 0,
     window: tuple | None = None,
     flush: tuple[int, int] | None = None,
 ) -> tuple[DiffScene, list[float]]:
@@ -203,157 +204,184 @@ def fit(
     ``planned_flush_lost``-validated flush box. A pose-tuned shaded
     window measured 2.5-3x over the conservative default at 256^3
     (hardware job j033).
+    ``esl_refresh_every=N`` (with ``esl=True``) runs every Nth step as
+    a FULL march (esl off): under pure ESL training, TF entries whose
+    density range the running TF maps to zero opacity receive no
+    cotangent from the skipped samples — the TF can never "switch on"
+    such a range (the documented ESL TF-gradient trap,
+    diff_v3.plan_windows). The periodic full step gives every TF entry
+    its gradient, so trapped ranges open and are then marched by the
+    compacted steps from the next empty-grid refresh on; the remaining
+    (N-1)/N steps keep the ESL speedup. Tested in
+    tests/test_diff_v3.py::TestEslTfTrap.
     """
     import os
 
     optimizer = make_optimizer(lr)
-    loss_grads_fn = None
-    constrain_target_rows = True
-    two_dispatch = False
-    if fused:
-        def loss_fn(scene, view, target, plan=None):
-            from volrt.diff import fused as fused_mod
 
-            # Density-only fits skip the backward's dTF scatter
-            # entirely (~10% of the fused step at 256^3) — the
-            # optimizer would zero the TF gradient anyway.
-            return fused_mod.l2_loss_fused(
-                scene, view, target, fast=True, plan=plan,
-                window=window, flush=flush, need_tf_grad=train_tf,
-                need_density_grad=train_density)
-    else:
-        loss_fn = l2_loss
-    if shading:
-        # Shaded inverse rendering: diffuse (reference one-tap) on both
-        # paths; gradient Blinn-Phong on the XLA autodiff path only (the
-        # fused kernels' analytic backward covers the diffuse tap).
-        # Volume-sharded shading routes through the XLA slab backend
-        # (wider halos carry the light/gradient taps; dist.volume_sharded).
-        if shading == "phong":
-            if fused:
+    def _build_train_step(esl, mesh=mesh):
+        # The whole loss construction is parameterized by the
+        # (static) esl flag so esl_refresh_every can compile a
+        # second, full-march step beside the compacted one. ``mesh``
+        # rides in as a default arg because the volume-sharded branch
+        # rebinds it locally.
+        loss_grads_fn = None
+        constrain_target_rows = True
+        two_dispatch = False
+        if fused:
+            def loss_fn(scene, view, target, plan=None):
                 from volrt.diff import fused as fused_mod
 
-                def loss_fn(scene, view, target, plan=None):
-                    return fused_mod.l2_loss_fused(
-                        scene, view, target, fast=True, phong=True,
-                        light_kd=light_kd, plan=plan,
-                        window=window, flush=flush,
-                        need_tf_grad=train_tf,
-                        need_density_grad=train_density)
-            else:
-                def loss_fn(scene, view, target):
-                    img = render_diff_image(
-                        scene, view, light_kd=light_kd, phong=True)
-                    return jnp.mean((img - target) ** 2)
-        elif shading == "diffuse":
-            if fused:
-                from volrt.diff import fused as fused_mod
-
-                def loss_fn(scene, view, target, plan=None):
-                    return fused_mod.l2_loss_fused(
-                        scene, view, target, fast=True, shaded=True,
-                        light_kd=light_kd, plan=plan,
-                        window=window, flush=flush,
-                        need_tf_grad=train_tf,
-                        need_density_grad=train_density)
-            else:
-                def loss_fn(scene, view, target):
-                    img = render_diff_image(
-                        scene, view, light_kd=light_kd, shaded=True)
-                    return jnp.mean((img - target) ** 2)
-        else:
-            raise ValueError(f"unknown shading mode: {shading!r}")
-    if esl:
-        # Empty-space-skipped training (plan-time group compaction on the
-        # fused path, leading leap on the XLA path): the render is
-        # image-exact, so on sparse scenes this is pure speedup. Caveat
-        # (documented at diff_v3.plan_windows): TF entries in the current
-        # zero-opacity run receive no cotangent from skipped samples, so
-        # a trained TF cannot "switch on" density ranges the running TF
-        # maps to zero — train with esl=False if that matters. The empty
-        # grid re-derives from the live tf_base every step, so ranges the
-        # TF *does* open during training are marched from then on.
-        if volume_sharded and shading:
-            raise NotImplementedError(
-                "esl + shading in volume-sharded training is not "
-                "supported (esl rides the pallas slab backend, shading "
-                "the XLA one)")
-        if fused and (mesh is not None or (grad_chunks
-                                           and grad_chunks > 1)):
-            pass  # esl threads through loss_grads_fn below
-        elif fused:
-            from volrt.diff import fused as fused_mod
-
-            def loss_fn(scene, view, target, _sh=shading):
+                # Density-only fits skip the backward's dTF scatter
+                # entirely (~10% of the fused step at 256^3) — the
+                # optimizer would zero the TF gradient anyway.
                 return fused_mod.l2_loss_fused(
-                    scene, view, target, fast=True, esl=True,
-                    shaded=(_sh == "diffuse"), phong=(_sh == "phong"),
-                    light_kd=(light_kd if _sh else 0.0),
+                    scene, view, target, fast=True, plan=plan,
                     window=window, flush=flush, need_tf_grad=train_tf,
                     need_density_grad=train_density)
         else:
-            def loss_fn(scene, view, target, _sh=shading):
-                img = render_diff_image(
-                    scene, view, esl=True,
-                    light_kd=(light_kd if _sh else 0.0),
-                    shaded=(_sh == "diffuse"), phong=(_sh == "phong"))
-                return jnp.mean((img - target) ** 2)
-    if volume_sharded:
-        if mesh is None:
-            raise ValueError("volume_sharded=True requires a mesh")
-        from volrt.dist.volume_sharded import render_volume_sharded
+            loss_fn = l2_loss
+        if shading:
+            # Shaded inverse rendering: diffuse (reference one-tap) on both
+            # paths; gradient Blinn-Phong on the XLA autodiff path only (the
+            # fused kernels' analytic backward covers the diffuse tap).
+            # Volume-sharded shading routes through the XLA slab backend
+            # (wider halos carry the light/gradient taps; dist.volume_sharded).
+            if shading == "phong":
+                if fused:
+                    from volrt.diff import fused as fused_mod
 
-        vs_mesh = mesh
-        mesh = None  # the slab loss shards itself; state stays local
-        constrain_target_rows = False
-        two_dispatch = True
+                    def loss_fn(scene, view, target, plan=None):
+                        return fused_mod.l2_loss_fused(
+                            scene, view, target, fast=True, phong=True,
+                            light_kd=light_kd, plan=plan,
+                            window=window, flush=flush,
+                            need_tf_grad=train_tf,
+                            need_density_grad=train_density)
+                else:
+                    def loss_fn(scene, view, target):
+                        img = render_diff_image(
+                            scene, view, light_kd=light_kd, phong=True)
+                        return jnp.mean((img - target) ** 2)
+            elif shading == "diffuse":
+                if fused:
+                    from volrt.diff import fused as fused_mod
 
-        def loss_grads_fn(scene, view, target):
-            def loss(s):
-                img = render_volume_sharded(
-                    s, view, vs_mesh,
-                    backend="xla" if shading else "pallas",
-                    shading=shading, light_kd=light_kd, esl=esl)
-                return jnp.mean((img - target) ** 2)
+                    def loss_fn(scene, view, target, plan=None):
+                        return fused_mod.l2_loss_fused(
+                            scene, view, target, fast=True, shaded=True,
+                            light_kd=light_kd, plan=plan,
+                            window=window, flush=flush,
+                            need_tf_grad=train_tf,
+                            need_density_grad=train_density)
+                else:
+                    def loss_fn(scene, view, target):
+                        img = render_diff_image(
+                            scene, view, light_kd=light_kd, shaded=True)
+                        return jnp.mean((img - target) ** 2)
+            else:
+                raise ValueError(f"unknown shading mode: {shading!r}")
+        if esl:
+            # Empty-space-skipped training (plan-time group compaction on the
+            # fused path, leading leap on the XLA path): the render is
+            # image-exact, so on sparse scenes this is pure speedup.
+            # Caveat (documented at diff_v3.plan_windows, demonstrated
+            # in tests/test_diff_v3.py::TestEslTfTrap): TF entries in
+            # the current zero-opacity run receive no cotangent from
+            # skipped samples, so a trained TF cannot "switch on"
+            # density ranges the running TF maps to zero — mitigate
+            # with ``esl_refresh_every=N`` (periodic full-march step)
+            # or train with esl=False. The empty grid re-derives from
+            # the live tf_base every step, so ranges the TF *does*
+            # open during training are marched from then on.
+            if volume_sharded and shading == "phong":
+                raise NotImplementedError(
+                    "esl + phong in volume-sharded training is not "
+                    "supported (esl rides the pallas slab backend, which "
+                    "carries the diffuse tap only)")
+            if fused and (mesh is not None or (grad_chunks
+                                               and grad_chunks > 1)):
+                pass  # esl threads through loss_grads_fn below
+            elif fused:
+                from volrt.diff import fused as fused_mod
 
-            return jax.value_and_grad(loss)(scene)
-    elif fused and mesh is not None:
-        # Fused kernels under a mesh: shard_map the v3 fwd/bwd over ray
-        # tiles (XLA cannot auto-partition a custom kernel). The loss
-        # shards its own tiles, so the step wrapper only pins the state
-        # replicated (no row constraint on the raw target). Plans (when
-        # esl is off) skip the per-step prologue exactly like the
-        # single-chip path — the sharded step pads/shards them itself.
-        from volrt.dist.render import l2_loss_grads_v3_sharded
+                def loss_fn(scene, view, target, _sh=shading):
+                    return fused_mod.l2_loss_fused(
+                        scene, view, target, fast=True, esl=True,
+                        shaded=(_sh == "diffuse"), phong=(_sh == "phong"),
+                        light_kd=(light_kd if _sh else 0.0),
+                        window=window, flush=flush, need_tf_grad=train_tf,
+                        need_density_grad=train_density)
+            else:
+                def loss_fn(scene, view, target, _sh=shading):
+                    img = render_diff_image(
+                        scene, view, esl=True,
+                        light_kd=(light_kd if _sh else 0.0),
+                        shaded=(_sh == "diffuse"), phong=(_sh == "phong"))
+                    return jnp.mean((img - target) ** 2)
+        if volume_sharded:
+            if mesh is None:
+                raise ValueError("volume_sharded=True requires a mesh")
+            from volrt.dist.volume_sharded import render_volume_sharded
 
-        fused_mesh = mesh
-        constrain_target_rows = False
-        two_dispatch = True
+            vs_mesh = mesh
+            mesh = None  # the slab loss shards itself; state stays local
+            constrain_target_rows = False
+            two_dispatch = True
 
-        def loss_grads_fn(scene, view, target, plan=None):
-            return l2_loss_grads_v3_sharded(
-                scene, view, target, fused_mesh, fast=True,
-                shading=shading, light_kd=light_kd, plan=plan, esl=esl,
-                window=window, flush=flush, need_dtf=train_tf)
-    elif fused and grad_chunks and grad_chunks > 1:
-        from volrt.renderers.pallas.diff_v3 import loss_grads_v3_chunked
+            def loss_grads_fn(scene, view, target):
+                def loss(s):
+                    # The pallas slab backend carries the diffuse tap
+                    # (round 5) and the ESL plan compaction; phong keeps
+                    # the XLA slab march.
+                    img = render_volume_sharded(
+                        s, view, vs_mesh,
+                        backend="xla" if shading == "phong" else "pallas",
+                        shading=shading, light_kd=light_kd, esl=esl)
+                    return jnp.mean((img - target) ** 2)
 
-        def loss_grads_fn(scene, view, target, plan=None):
-            return loss_grads_v3_chunked(
-                scene, view, target, grad_chunks, fast=True,
-                light_kd=(light_kd if shading else 0.0),
-                shaded=(shading == "diffuse"),
-                phong=(shading == "phong"), plan=plan, esl=esl,
-                window=None if window is None else tuple(window),
-                flush=flush, need_dtf=train_tf,
-                need_dvol=train_density)
-    train_step = make_train_step(
-        optimizer, loss_fn=loss_fn,
-        train_density=train_density, train_tf=train_tf, mesh=mesh,
-        loss_grads_fn=loss_grads_fn,
-        constrain_target_rows=constrain_target_rows,
-        two_dispatch=two_dispatch,
-    )
+                return jax.value_and_grad(loss)(scene)
+        elif fused and mesh is not None:
+            # Fused kernels under a mesh: shard_map the v3 fwd/bwd over ray
+            # tiles (XLA cannot auto-partition a custom kernel). The loss
+            # shards its own tiles, so the step wrapper only pins the state
+            # replicated (no row constraint on the raw target). Plans (when
+            # esl is off) skip the per-step prologue exactly like the
+            # single-chip path — the sharded step pads/shards them itself.
+            from volrt.dist.render import l2_loss_grads_v3_sharded
+
+            fused_mesh = mesh
+            constrain_target_rows = False
+            two_dispatch = True
+
+            def loss_grads_fn(scene, view, target, plan=None):
+                return l2_loss_grads_v3_sharded(
+                    scene, view, target, fused_mesh, fast=True,
+                    shading=shading, light_kd=light_kd, plan=plan, esl=esl,
+                    window=window, flush=flush, need_dtf=train_tf)
+        elif fused and grad_chunks and grad_chunks > 1:
+            from volrt.renderers.pallas.diff_v3 import loss_grads_v3_chunked
+
+            def loss_grads_fn(scene, view, target, plan=None):
+                return loss_grads_v3_chunked(
+                    scene, view, target, grad_chunks, fast=True,
+                    light_kd=(light_kd if shading else 0.0),
+                    shaded=(shading == "diffuse"),
+                    phong=(shading == "phong"), plan=plan, esl=esl,
+                    window=None if window is None else tuple(window),
+                    flush=flush, need_dtf=train_tf,
+                    need_dvol=train_density)
+        return make_train_step(
+            optimizer, loss_fn=loss_fn,
+            train_density=train_density, train_tf=train_tf, mesh=mesh,
+            loss_grads_fn=loss_grads_fn,
+            constrain_target_rows=constrain_target_rows,
+            two_dispatch=two_dispatch,
+        )
+
+    train_step = _build_train_step(esl)
+    refresh_step = (_build_train_step(False)
+                    if (esl and esl_refresh_every) else None)
     state = init_state(scene, optimizer)
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
         from volrt.train import checkpoint as ckpt
@@ -387,7 +415,12 @@ def fit(
     for i in range(start, steps):
         j = i % len(views_and_targets)
         view, target = views_and_targets[j]
-        state, loss = train_step(state, view, target, plans[j])
+        step_fn = train_step
+        if refresh_step is not None and i % esl_refresh_every == 0:
+            # Periodic full march: every TF entry gets its cotangent
+            # (the ESL TF-gradient trap mitigation — see docstring).
+            step_fn = refresh_step
+        state, loss = step_fn(state, view, target, plans[j])
         losses.append(float(loss))
         if log_every and (i % log_every == 0):
             msg = f"fit step {i}: loss {losses[-1]:.6f}"
