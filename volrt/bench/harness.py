@@ -148,13 +148,17 @@ def renderer_fns(rc: Raycaster, renderers: list[int],
             continue
         if rid != 5 and rc.shading == "phong":
             continue  # gradient Blinn-Phong is a rung-5 capability
-        if rid in (3, 4, 5):
+        if rid in (2, 3, 4, 5):
             kw = {}
-            if window is not None and rid in (3, 4):
+            if window is not None and rid in (2, 3, 4):
                 kw["window"] = tuple(window)
             if stats:
                 fn = (lambda rc=rc, mod=mod, kw=kw:
                       mod.render_float_stats(rc, **kw))
+            elif rid == 2:
+                # rung 2's render_float returns the image alone
+                fn = (lambda rc=rc, mod=mod, kw=kw:
+                      mod.render_float(rc, **kw))
             else:
                 fn = (lambda rc=rc, mod=mod, kw=kw:
                       mod.render_float(rc, **kw)[0])
@@ -286,7 +290,7 @@ def run_suite(
                 except Exception as e:  # OOM / unsupported size
                     warm_err = e
                     msg = str(e)
-                    if _is_vmem_oom(msg) and rid in (3, 4):
+                    if _is_vmem_oom(msg) and rid in (2, 3, 4):
                         from volrt.renderers import get_renderer
 
                         wz, wy = (window_fb or

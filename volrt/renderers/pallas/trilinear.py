@@ -33,6 +33,7 @@ from volrt.constants import (
     SHADE_ALPHA_GATE,
     SHADE_KD_GATE,
     SHADE_LIGHT_OFFSET,
+    TF_RATIO,
     TF_SIZE,
 )
 from volrt.core import sampling
@@ -67,6 +68,7 @@ def _kernel(
     wy: int,
     fast: bool = False,
     shade: bool = True,
+    nearest: bool = False,
 ):
     w, h, d = dims
     xpad = vol_ref.shape[2]
@@ -99,12 +101,47 @@ def _kernel(
             fz0.astype(jnp.int32), tz - fz0,
         )
 
+    def nn_coords(px, py, pz):
+        """map_float_int truncation indices (reference: common.h:105-110,
+        ModelBase.h:17-23) — the rung-2 nearest-neighbor addressing."""
+        ix = jnp.clip(((px + 1.0) * 0.5 * w).astype(jnp.int32), 0, w - 1)
+        iy = jnp.clip(((py + 1.0) * 0.5 * h).astype(jnp.int32), 0, h - 1)
+        iz = jnp.clip(((pz + 1.0) * 0.5 * d).astype(jnp.int32), 0, d - 1)
+        return ix, iy, iz
+
+    def nn_window_sample(alive, brick, z0, y0, px, py, pz):
+        """Nearest-neighbor sample from the brick -> RAW value in
+        [0, 255] (kept unscaled so the bucket-TF integer division stays
+        exact). One single-tap one-hot row per ray replaces the 4-tap
+        hat matrix; one lane gather replaces the x lerp pair."""
+        ix, iy, iz = nn_coords(px, py, pz)
+        lz, ly = iz - z0, iy - y0
+        ovf = (
+            (lz < 0) | (lz > wz - 1) | (ly < 0) | (ly > wy - 1)
+        ) & (alive > 0.0)
+        lz = jnp.clip(lz, 0, wz - 1)
+        ly = jnp.clip(ly, 0, wy - 1)
+        wmat = (row_iota == lz * wy + ly).astype(jnp.float32)
+        xrows = jax.lax.dot_general(
+            wmat, brick,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.DEFAULT if fast
+                       else jax.lax.Precision.HIGHEST),
+        )
+        val = jnp.take_along_axis(
+            xrows, jnp.broadcast_to(ix, (R, xpad)), axis=1
+        )[:, 0:1]
+        return val, jnp.sum(ovf.astype(jnp.float32))
+
     def window_sample(alive, brick, z0, y0, px, py, pz):
         """Trilinear sample from the current brick; returns (value, overflow).
 
         ``brick`` is ``f32[wz*wy, xpad]``; z/y lerp happens inside the matmul
         via the 4-tap weight matrix, then two lane gathers lerp x.
         """
+        if nearest:
+            return nn_window_sample(alive, brick, z0, y0, px, py, pz)
         ix0, fx, iy0, fy, iz0, fz = coords(px, py, pz)
         # CUDA clamp addressing per tap.
         ix0c = jnp.clip(ix0, 0, w - 1)
@@ -165,7 +202,10 @@ def _kernel(
         pz = oz + dz * k
 
         # Window placement from the active rays' current z/y footprint.
-        _, _, iy0, _, iz0, _ = coords(px, py, pz)
+        if nearest:
+            _, iy0, iz0 = nn_coords(px, py, pz)
+        else:
+            _, _, iy0, _, iz0, _ = coords(px, py, pz)
         big = jnp.int32(1 << 20)
         amask = alive > 0.0
         z0 = jnp.min(jnp.where(amask, iz0, big)) - MARGIN
@@ -176,17 +216,23 @@ def _kernel(
 
         sval, ovf1 = window_sample(alive, brick, z0, y0, px, py, pz)
 
-        # Linearly-interpolated TF lookup folded into one matmul
-        # (reference: GPURenderer4.cu:77,94-96).
-        tt = sval * TF_SIZE - 0.5
-        ti0 = jnp.floor(tt)
-        tfr = tt - ti0
-        ti0 = ti0.astype(jnp.int32)
-        tlo = jnp.clip(ti0, 0, TF_SIZE - 1)
-        thi = jnp.clip(ti0 + 1, 0, TF_SIZE - 1)
-        wtf = (
-            (tf_iota == tlo) * (1.0 - tfr) + (tf_iota == thi) * tfr
-        ).astype(jnp.float32)
+        if nearest:
+            # Bucket TF lookup (reference rung 2/3 semantics,
+            # GPURenderer23.cu): integer value / TF_RATIO, no lerp.
+            bucket = sval.astype(jnp.int32) // TF_RATIO
+            wtf = (tf_iota == bucket).astype(jnp.float32)
+        else:
+            # Linearly-interpolated TF lookup folded into one matmul
+            # (reference: GPURenderer4.cu:77,94-96).
+            tt = sval * TF_SIZE - 0.5
+            ti0 = jnp.floor(tt)
+            tfr = tt - ti0
+            ti0 = ti0.astype(jnp.int32)
+            tlo = jnp.clip(ti0, 0, TF_SIZE - 1)
+            thi = jnp.clip(ti0 + 1, 0, TF_SIZE - 1)
+            wtf = (
+                (tf_iota == tlo) * (1.0 - tfr) + (tf_iota == thi) * tfr
+            ).astype(jnp.float32)
         color = jax.lax.dot_general(
             wtf, tf_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -210,7 +256,10 @@ def _kernel(
                 pz + wzv * inv * SHADE_LIGHT_OFFSET,
             )
             gate = (ca > SHADE_ALPHA_GATE) & (kd > SHADE_KD_GATE)
-            diffuse = jnp.where(gate, (sl - sval) * kd, 0.0)
+            # Nearest mode keeps raw [0, 255] values; the shade delta
+            # normalizes here (reference: CPURenderer.cpp:32-33).
+            dscale = (1.0 / 255.0) if nearest else 1.0
+            diffuse = jnp.where(gate, (sl - sval) * dscale * kd, 0.0)
             cr, cg, cb = cr + diffuse, cg + diffuse, cb + diffuse
         else:
             # Static skip: the caller asserts light_kd == 0 (the in-kernel
@@ -292,9 +341,12 @@ def render_tiles(
     window: tuple[int, int],
     fast: bool = False,
     shade: bool = True,
+    nearest: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Raw tile-level entry: render packed ray tiles ``(T, R, C)`` to
-    ``((T, R, 4) colors, (T, 8, 128) overflow)``. shard_map-able over T."""
+    ``((T, R, 4) colors, (T, 8, 128) overflow)``. shard_map-able over T.
+    ``nearest=True`` switches to rung-2 semantics (nearest sampling +
+    bucket TF — the pallas-nn rung rides this same windowed kernel)."""
     t = rays.shape[0]
     wz, wy = window
     kernel = functools.partial(
@@ -306,6 +358,7 @@ def render_tiles(
         wy=wy,
         fast=fast,
         shade=shade,
+        nearest=nearest,
     )
     return pl.pallas_call(
         kernel,
