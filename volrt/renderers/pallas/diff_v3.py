@@ -160,17 +160,34 @@ _DTF_BF16 = False
 # default OFF.
 _DTF_SEP = False
 
-# K-merged dTF scatter (unshaded/slab paths): the G per-band
-# (TF_SIZE, R) @ (R, 8) one-hot matmuls of a group collapse into ONE
-# (TF_SIZE, G*R) @ (G*R, 8) K-streamed matmul — same MACs, 1/G the
-# matmul issues (ROADMAP round-4's "(G, R) -> (1, G*R) lane relayout"
-# question). All inputs (tt8, dcr8..dca8) already exist group-batched
-# before the band loop, so the merge costs only the lane relayout:
-# "reshape" lowers (G, R) -> (1, G*R) via jnp.reshape; "concat" builds
-# the same layout from G explicit (1, R) lane-concats (the fallback if
-# Mosaic's reshape relayout is slow/unsupported). Empty string = off
-# (per-band path).
-_DTF_KMERGE = os.environ.get("VOLRT_DTF_KMERGE", "")
+# Experiment (shaded backward): fold the diffuse light-tap density
+# scatter into the base scatter as ONE K-concatenated matmul
+# ((wz*wy, 2R) @ (2R, wx)) instead of two — same MACs, half the MXU
+# issues. The light-tap scatter measured 73.4 ms exposed at the
+# 256^3/1024^2 diffuse step (jobd j130 "shadetap").
+_SHADE_KCAT = False
+
+# K-merged dTF scatter: the G per-band (TF_SIZE, R) @ (R, 8) one-hot
+# matmuls of a group collapse into ONE group-level matmul — all inputs
+# (tt8, dcr8..dca8) already exist group-batched before the band loop
+# (this covers the shade/phong paths too: their lit/spec cotangent
+# chains also produce (G, R) columns). Modes, hardware-measured on the
+# 256^3/1024^2 headline (jobd j121/j126, G=32):
+#   "reshape"  one (TF_SIZE, G*R) @ (G*R, 8): 195.0 vs 197.5 ms — the
+#              merge alone only trims issue overhead (the matmul is
+#              MAC-limited: N=8 pads to a 128-lane physical tile).
+#   "trans"    transposed (8, G*R) @ (G*R, TF_SIZE): the small dim
+#              rides M (sublane, granularity 8) instead of N (lane,
+#              granularity 128) -> 1/16 the padded MACs: 184.4 ms.
+#   "trans2"   DEFAULT. trans + two-tap equality build: the 4-op hat
+#              build (~20 ms exposed once the matmul shrank, j123)
+#              becomes one integer compare against E = (brow ==
+#              floor(tt)), with the (floor+1)-tap folded in as a
+#              second 4-row block and a one-lane roll: 170.1 ms
+#              (1.584e9 r*s/s). Gradient parity 1.1e-6 on hardware
+#              (fast=True bf16), 9e-10 vs autodiff on CPU.
+#   ""         per-band path (the round-4 structure).
+_DTF_KMERGE = os.environ.get("VOLRT_DTF_KMERGE", "trans2")
 
 
 def _expand_taps(wzw, wyw, wz, wy, dtype):
@@ -213,10 +230,14 @@ def default_window(dims, view_dims, perspective=False):
     # window costs ~14% — detection over padding is the chosen trade.
     wz = int(math.ceil(span)) + 1 + 2 * MARGIN + 4
     # Longer band groups bend the fitted origin chord further from the
-    # true per-band footprint minimum (rays entering/exiting mid-group
-    # kink the piecewise-linear minimum), so the slack grows with G
-    # beyond the tuned G=8 default.
-    wz += max(0, G - 8) // 2
+    # true per-band footprint minimum (the concave lower-envelope fit is
+    # conservative at entry/exit groups, and the fixed-point slope
+    # quantization error grows with bands-per-group), so the slack grows
+    # with G beyond the tuned G=8 default — linearly past G=32, where
+    # the half-rate slack measurably under-covers (plan replay at G=48
+    # needs ~G of z slack; such windows also make G>=48 unprofitable,
+    # see BASELINE.md's G-choice table).
+    wz += max(0, G - 8) // 2 if G <= 32 else max(0, G - 8)
     wy = wz + 8  # y-origin 8-alignment slack
     # Never exceed the (padded) volume extent: the brick must contain the
     # window.
@@ -384,8 +405,20 @@ def plan_windows(tiles, dims, vol_shape, ray_step, wz, wy, bz, by,
         outs = []
         act = alive & (j0 <= ge) & (bex >= gs)
         for e in (gs, ge):
-            bcl = jnp.clip(e, j0, bex)
-            kk = phi + bcl * step
+            # End-band evaluation with UNCLAMPED linear extension
+            # (round 5): clamping to [j0, bex] froze exiting rays at
+            # their last band, compressing the exit group's chord ABOVE
+            # the true per-band footprint minimum whenever the march
+            # length is not divisible by G (G=24/48 dropped taps —
+            # ROADMAP round-4 root cause). Extending every ray's line
+            # across the whole group only ADDS candidates that are <=
+            # the ray's actual positions wherever it samples, so the
+            # per-end mins bound a CONCAVE envelope (min of linears)
+            # whose chord is a valid per-band lower bound — exact where
+            # all rays span the group (the old behavior), conservative
+            # at entry/exit groups (absorbed by the window's G-scaled
+            # slack; planned_window_ovf still proves each pose).
+            kk = phi + e * step
             for o_c, d_c, n_c in ((oz, dz, d), (oy, dy, h), (ox, dx, w)):
                 t = (o_c + d_c * kk + 1.0) * (0.5 * n_c) - 0.5
                 if o_c is oz and z_off is not None:
@@ -1783,8 +1816,11 @@ def _bwd_kernel(
                  dca8[g:g + 1], jnp.zeros((4, R), jnp.float32)],
                 axis=0)                              # (8, R)
 
+        # Applies to the shade/phong paths too: their cotangent columns
+        # (dcr8..dca8, incl. phong's lit/spec chain) are group-batched
+        # (G, R) arrays before the band loop, exactly like the
+        # unshaded ones.
         use_kmerge = (bool(_DTF_KMERGE) and need_dtf
-                      and not shade and not phong
                       and "dtf" not in abl and "bandtail" not in abl)
         if use_kmerge:
             # One (TF_SIZE, G*R) @ (G*R, 8) matmul replaces the group's
@@ -1799,24 +1835,81 @@ def _bwd_kernel(
                 return a[:, :R].reshape(1, GR)
 
             tt_flat = _flat(tt8)
-            brow_big = jax.lax.broadcasted_iota(
-                jnp.int32, (TF_SIZE, GR), 0).astype(jnp.float32)
-            ohb = jnp.maximum(0.0, 1.0 - jnp.abs(brow_big - tt_flat))
             dcol_big = jnp.concatenate(
                 [_flat(dcr8), _flat(dcg8), _flat(dcb8), _flat(dca8),
                  jnp.zeros((4, GR), jnp.float32)], axis=0)  # (8, GR)
-            if _DTF_BF16 and fast:
+            if _DTF_KMERGE == "trans2":
+                # Two-tap equality form: the hat's two taps at
+                # (floor(tt), floor(tt)+1) with weights (1-frac, frac)
+                # become TWO transposed matmuls against ONE integer-
+                # equality one-hot E = (brow == floor(tt)) — E costs a
+                # single compare per element vs the hat's 4-op build
+                # (the build was ~20 ms exposed once the matmul shrank,
+                # j123). The +1 tap folds in as a one-lane shift of the
+                # second result; out-of-range taps drop exactly as the
+                # hat's missing rows did (floor is UNclipped).
+                brow_big = jax.lax.broadcasted_iota(
+                    jnp.int32, (TF_SIZE, GR), 0).astype(jnp.float32)
+                lo_u = jnp.floor(tt_flat)
+                fr = tt_flat - lo_u
+                if "dtfoh" in abl:
+                    E = jnp.broadcast_to(tt_flat * 1e-30, (TF_SIZE, GR))
+                else:
+                    E = (brow_big == lo_u).astype(jnp.float32)
+                A = jnp.concatenate(
+                    [dcol_big[:4] * (1.0 - fr), dcol_big[:4] * fr],
+                    axis=0)                          # (8, GR)
+                X = jax.lax.dot_general(
+                    A, E, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec)                  # (8, TF_SIZE)
+                lo_part = X[:4]
+                # One-lane right shift (tap at floor+1): roll + zero
+                # lane 0 (jnp.pad's lane concat trips a Mosaic offset
+                # bug at (4, 129)).
+                hi_roll = pltpu.roll(X[4:], 1, axis=1)
+                lane0 = jax.lax.broadcasted_iota(
+                    jnp.int32, (4, TF_SIZE), 1) == 0
+                hi_part = jnp.where(lane0, 0.0, hi_roll)
+                tfc_t = jnp.concatenate(
+                    [lo_part + hi_part, jnp.zeros((4, TF_SIZE),
+                                                  jnp.float32)], axis=0)
+                dtfacc_ref[...] += tfc_t.T
+                ohb = None
+            elif "dtfoh" in abl:
+                # Build skipped, matmul kept (hat-build share probe).
+                ohb = jnp.broadcast_to(tt_flat * 1e-30, (TF_SIZE, GR))
+            else:
+                brow_big = jax.lax.broadcasted_iota(
+                    jnp.int32, (TF_SIZE, GR), 0).astype(jnp.float32)
+                ohb = jnp.maximum(0.0, 1.0 - jnp.abs(brow_big - tt_flat))
+            if _DTF_KMERGE == "trans2":
+                pass
+            elif _DTF_KMERGE == "trans":
+                # Transposed orientation: the 4-row cotangent block
+                # rides the M (sublane, granularity-8) axis instead of
+                # the N (lane, granularity-128) axis, so the physical
+                # MXU tile is (8, K, 128) — 1/16 the padded MACs of the
+                # (TF_SIZE, K, 8->128) orientation. One (8, TF_SIZE)
+                # transpose per group folds the result back.
+                tfc_t = jax.lax.dot_general(
+                    dcol_big, ohb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec)                  # (8, TF_SIZE)
+                dtfacc_ref[...] += tfc_t.T
+            elif _DTF_BF16 and fast:
                 tfc_big = jax.lax.dot_general(
                     ohb.astype(jnp.bfloat16),
                     dcol_big.astype(jnp.bfloat16),
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
+                dtfacc_ref[...] += tfc_big
             else:
                 tfc_big = jax.lax.dot_general(
                     ohb, dcol_big, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=prec)                  # (TF_SIZE, 8)
-            dtfacc_ref[...] += tfc_big
+                dtfacc_ref[...] += tfc_big
 
         dtf_g = None
         for g in (() if "bandtail" in abl else range(G)):
@@ -1921,12 +2014,46 @@ def _bwd_kernel(
             if "dbrick" in abl:
                 dbrick = (jnp.zeros((wz * wy, wx), jnp.float32)
                           + wmat[:, 0:1] + jnp.sum(Dx) * 1e-30)
+            elif _SHADE_KCAT and ((shade and "shadetap" not in abl)
+                                  or (phong
+                                      and "phongtaps" not in abl)):
+                dbrick = None  # folded into the tap K-concat below
             else:
                 dbrick = jax.lax.dot_general(
                     wmat, Dx, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=prec)                  # (wz*wy, wx)
-            if phong:
+            if (phong and "phongtaps" not in abl
+                    and _SHADE_KCAT and "dbrick" not in abl):
+                # 3-way K-concat (see _SHADE_KCAT): base + gy + gz
+                # scatters in ONE (wz*wy, 3R) @ (3R, wx) matmul.
+                tyg = ty[g:g + 1]
+                lyp = jnp.clip(tyg + 1.0, 0.0, h_ - 1.0) \
+                    - y0g.astype(jnp.float32)
+                lym = jnp.clip(tyg - 1.0, 0.0, h_ - 1.0) \
+                    - y0g.astype(jnp.float32)
+                yw_d = (jnp.maximum(0.0, 1.0 - jnp.abs(yrow - lyp))
+                        - jnp.maximum(0.0, 1.0 - jnp.abs(yrow - lym)))
+                wzw_p = jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lz))
+                wmat_dy = _expand_taps(wzw_p, yw_d, wz, wy, jnp.float32)
+                tzg = tz[g:g + 1]
+                lzp = jnp.clip(tzg + 1.0, 0.0, d_ - 1.0) \
+                    - z0g.astype(jnp.float32)
+                lzm = jnp.clip(tzg - 1.0, 0.0, d_ - 1.0) \
+                    - z0g.astype(jnp.float32)
+                zw_d = (jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lzp))
+                        - jnp.maximum(0.0, 1.0 - jnp.abs(zrow - lzm)))
+                wyw_p = jnp.maximum(0.0, 1.0 - jnp.abs(yrow - ly))
+                wmat_dz = _expand_taps(zw_d, wyw_p, wz, wy, jnp.float32)
+                dbrick = jax.lax.dot_general(
+                    jnp.concatenate([wmat, wmat_dy, wmat_dz], axis=1),
+                    jnp.concatenate(
+                        [Dx, dgy8[g:g + 1] * xw, dgz8[g:g + 1] * xw],
+                        axis=1),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec)
+            elif phong and "phongtaps" not in abl:
                 # gy / gz scatters: the shifted-hat difference matrices
                 # of the forward's central-difference taps, transposed.
                 tyg = ty[g:g + 1]
@@ -1956,7 +2083,7 @@ def _bwd_kernel(
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=prec)
-            if shade:
+            if shade and "shadetap" not in abl:
                 # Second scatter: the light tap's footprint.
                 lz2 = tz2[g:g + 1] - z0g.astype(jnp.float32)
                 ly2 = ty2[g:g + 1] - y0g.astype(jnp.float32)
@@ -1965,10 +2092,21 @@ def _bwd_kernel(
                 wyw2 = jnp.maximum(0.0, 1.0 - jnp.abs(yrow - ly2))
                 wmat2 = _expand_taps(wzw2, wyw2, wz, wy, jnp.float32)
                 xw2 = jnp.maximum(0.0, 1.0 - jnp.abs(xrow - lx2))
-                dbrick = dbrick + jax.lax.dot_general(
-                    wmat2, dsval2 * xw2, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=prec)
+                if _SHADE_KCAT:
+                    # Fold the light tap into the base scatter as a
+                    # K-concat: one (wz*wy, 2R) @ (2R, wx) matmul
+                    # replaces two — same MACs, half the MXU issues.
+                    dbrick = jax.lax.dot_general(
+                        jnp.concatenate([wmat, wmat2], axis=1),
+                        jnp.concatenate([Dx, dsval2 * xw2], axis=1),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec)
+                else:
+                    dbrick = dbrick + jax.lax.dot_general(
+                        wmat2, dsval2 * xw2, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec)
             if wx < 128:
                 dbrick = jnp.pad(dbrick, ((0, 0), (0, 128 - wx)))
             if "accrmw" not in abl:
