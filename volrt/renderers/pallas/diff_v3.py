@@ -160,12 +160,16 @@ _DTF_BF16 = False
 # default OFF.
 _DTF_SEP = False
 
-# Experiment (shaded backward): fold the diffuse light-tap density
-# scatter into the base scatter as ONE K-concatenated matmul
-# ((wz*wy, 2R) @ (2R, wx)) instead of two — same MACs, half the MXU
-# issues. The light-tap scatter measured 73.4 ms exposed at the
-# 256^3/1024^2 diffuse step (jobd j130 "shadetap").
-_SHADE_KCAT = False
+# Shaded backward (DEFAULT on): fold the diffuse light-tap density
+# scatter (and phong's gy/gz scatters) into the base scatter as ONE
+# K-concatenated matmul ((wz*wy, 2R or 3R) @ (.., wx)) instead of
+# two/three — same MACs, fewer MXU issues. Diffuse 393.3 -> 387.0 ms
+# at the 256^3/1024^2 step (jobd j131); gradient parity 3e-11
+# (diffuse) / 6e-11 (phong). Combined with trans2 + the tightened
+# shaded windows (jobd j133: the light tap reaches only ~1.3 voxels,
+# so (6,16,64) diffuse / (4,16,64) phong windows are overflow-free at
+# the headline pose): diffuse 452 -> 282.2 ms, phong 772 -> 466.4.
+_SHADE_KCAT = True
 
 # K-merged dTF scatter: the G per-band (TF_SIZE, R) @ (R, 8) one-hot
 # matmuls of a group collapse into ONE group-level matmul — all inputs
