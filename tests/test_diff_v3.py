@@ -920,3 +920,77 @@ class TestEslTfTrap:
             esl_refresh_every=2)
         assert float(jnp.max(fitted.tf_base[:, 3])) > 0.0
         assert losses[-1] < losses[0]
+
+
+class TestOnePassFused:
+    """l2_loss_grads_v3_onepass: the single-launch L2 step (forward
+    march + per-ray MSE cotangent + analytic backward in ONE kernel,
+    sv in VMEM scratch) vs value_and_grad through the two-kernel
+    custom_vjp path. Gradients must match bit-exactly (identical
+    arithmetic, only the sv transport differs)."""
+
+    def _check(self, thr, fast, window=None, flush=None):
+        from volrt.renderers.pallas.diff_v3 import (
+            l2_loss_grads_v3_onepass, prepare_view_plan)
+
+        scene, view = setup()
+        rng = np.random.RandomState(0)
+        target = jnp.asarray(
+            rng.rand(*view.dims[::-1], 4), jnp.float32)
+        # Share one plan so both paths march identical planned windows
+        # (plan-prologue jit reassociation can shift window origins by
+        # one voxel at floor boundaries — a known tolerance-not-
+        # bit-equality effect across differently-jitted plans).
+        plan = prepare_view_plan(
+            scene.density.shape, view, float(scene.ray_step), window)
+
+        def loss_fn(s):
+            img = render_image_v3(
+                s, view, ray_threshold=thr, fast=fast, window=window,
+                flush=flush, plan=plan)
+            return jnp.mean((img - target) ** 2)
+
+        l_ref, g_ref = jax.value_and_grad(loss_fn)(scene)
+        l_op, g_op = jax.jit(lambda s: l2_loss_grads_v3_onepass(
+            s, view, target, ray_threshold=thr, fast=fast,
+            window=window, flush=flush, plan=plan))(scene)
+        assert abs(float(l_ref) - float(l_op)) < 1e-6
+        # Same arithmetic, but the two programs are compiled separately
+        # and XLA may reassociate the phase-gradient recombination:
+        # float-epsilon tolerance, not bit equality (on hardware the
+        # axis-pose headline measured bit-identical grads).
+        np.testing.assert_allclose(
+            np.asarray(g_ref.density), np.asarray(g_op.density),
+            atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(g_ref.tf_base), np.asarray(g_op.tf_base),
+            atol=1e-7)
+        assert float(jnp.linalg.norm(g_op.density)) > 1e-6
+
+    def test_no_ert_matches_two_kernel(self):
+        self._check(2.0, False)
+
+    def test_ert_matches_two_kernel(self):
+        self._check(0.95, False)
+
+    def test_fast_matches_two_kernel(self):
+        self._check(2.0, True)
+
+    def test_tuned_flush_matches(self):
+        self._check(2.0, False, flush=(16, 16))
+
+    def test_plan_matches_inline(self):
+        from volrt.renderers.pallas.diff_v3 import (
+            l2_loss_grads_v3_onepass, prepare_view_plan)
+
+        scene, view = setup()
+        target = jnp.zeros(view.dims[::-1] + (4,), jnp.float32)
+        plan = prepare_view_plan(
+            scene.density.shape, view, float(scene.ray_step))
+        l_a, g_a = l2_loss_grads_v3_onepass(
+            scene, view, target, ray_threshold=2.0)
+        l_b, g_b = l2_loss_grads_v3_onepass(
+            scene, view, target, ray_threshold=2.0, plan=plan)
+        np.testing.assert_array_equal(
+            np.asarray(g_a.density), np.asarray(g_b.density))
+        np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-6)

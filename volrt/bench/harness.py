@@ -465,12 +465,16 @@ def bench_diff_step(
     flush: tuple[int, int] | None = None,
     chunks: int | None = None,
     group_size: int | None = None,
+    onepass: bool = False,
 ) -> dict:
     """Benchmark one differentiable forward+backward step (loss+grads) —
     the BASELINE.md headline metric: rays*steps/s for fwd+bwd.
 
     ``fused=True`` uses the fused Pallas forward/backward kernels (the TPU
     fast path); ``fused=False`` the XLA scan+remat reference path.
+    ``onepass=True`` runs the whole L2 step as a SINGLE kernel launch
+    (``diff_v3.l2_loss_grads_v3_onepass``): no streamed-sv HBM
+    round-trip, no separate backward launch.
     """
     from volrt.core.types import default_ray_step
     from volrt.diff.render import scene_from_volume
@@ -555,6 +559,13 @@ def bench_diff_step(
             window=window, flush=flush, plan=plan))
         if not fused:
             plan = None
+    elif fused and onepass:
+        from volrt.renderers.pallas.diff_v3 import l2_loss_grads_v3_onepass
+
+        grad_fn = jax.jit(
+            lambda s, v, t, plan=None: l2_loss_grads_v3_onepass(
+                s, v, t, ray_threshold=2.0, fast=True, window=window,
+                flush=flush, plan=plan))
     else:
         grad_fn = jax.jit(jax.value_and_grad(loss_fn))
 

@@ -193,6 +193,35 @@ _SHADE_KCAT = True
 #   ""         per-band path (the round-4 structure).
 _DTF_KMERGE = os.environ.get("VOLRT_DTF_KMERGE", "trans2")
 
+# Deferred session read (DEFAULT on): at a session transition the old
+# code waited the overlapping write it had JUST issued (S_WAIT) and
+# issued the new session's HBM box read immediately — a fully exposed
+# ~0.84 us flush-box DMA per overlapping session pair (most sessions
+# overlap: consecutive boxes differ by the drift, < fz apart). Deferring
+# the {S_WAIT drain, read issue} by ONE group gives the write a full
+# group of compute (~10x its DMA time) to land; the read is consumed
+# only at the session's closing flush, many groups later. A pending
+# read still unissued at loop exit (last session started on the final
+# group, or ERT exit) fires in the kernel epilogue before the exit
+# flush, so every read is issued exactly once before its wait.
+_RMW_DEFER_READ = True
+
+# bf16 operands for the trans2 dTF equality matmul (fast mode only):
+# E is exact in bf16; A rounds (~0.4% relative on the TF cotangent).
+# Measurement flag (j205) — default off.
+_DTF_E_BF16 = False
+
+# Zero the (az, ay, 128) VMEM gradient accumulator only at grid step 0
+# (DEFAULT on). The flush path re-zeroes exactly the written box of
+# every session (window rows beyond the tap support add exact zeros),
+# so the accumulator is all-zero again at tile end and the per-tile
+# full zero — 4.1 MB of VPU stores per tile at the headline window,
+# ~34 GB/step across 8192 tiles — is redundant after step 0. Requires
+# planned_flush_lost == 0 for pose-tuned flush boxes (already the
+# validated contract: an undersized box drops gradient rows whether or
+# not they then leak into later tiles).
+_ACC_ZERO_ONCE = True
+
 
 def _expand_taps(wzw, wyw, wz, wy, dtype):
     """(wz, R) x (wy, R) hat strips -> (wz*wy, R) tap matrix, row-major
@@ -1435,7 +1464,12 @@ def _bwd_kernel(
 
     dtfacc_ref[...] = jnp.zeros_like(dtfacc_ref)
     if need_dvol:
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        if _ACC_ZERO_ONCE:
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                acc_ref[...] = jnp.zeros_like(acc_ref)
+        else:
+            acc_ref[...] = jnp.zeros_like(acc_ref)
     if use_xbox:
         dxs_ref[...] = jnp.zeros_like(dxs_ref)
     if use_sep:
@@ -1524,7 +1558,7 @@ def _bwd_kernel(
 
     def body(carry):
         (B, acca, fin, P, azo, ayo, axo, aph, rzo, ryo, k, wf,
-         novfx) = carry
+         novfx, rdpend) = carry
         slot = B & 1
         if not have_sv:
             wait_brick(B, slot)
@@ -1532,6 +1566,18 @@ def _bwd_kernel(
             @pl.when(B + 1 < ng_live)
             def _():
                 start_brick(B + 1, (B + 1) & 1)
+
+        if _RMW_DEFER_READ and need_dvol and "flush" not in abl:
+            # Deferred session read (see _RMW_DEFER_READ): fire the
+            # S_WAIT drain + box-read issue for the session started on
+            # the PREVIOUS group, using the carried placement.
+            for s in range(2):
+                @pl.when((rdpend > 0) & ((k & 1) == s))
+                def _(s=s):
+                    @pl.when(wf > 0)
+                    def _(s=s):
+                        _rmw_wait_write(1 - s)
+                    _rmw_read(s, azo, ayo, axo, aph, rzo, ryo)
 
         bzo = org_ref[0, B, F_BZO]
         byo = pl.multiple_of(org_ref[0, B, F_BYO], 8)
@@ -1563,12 +1609,16 @@ def _bwd_kernel(
                     @pl.when((kp >= 2) & (sorg_ref[0, B, S_PW] == 0))
                     def _(s=s):
                         _rmw_wait_write(s)
-                    # Overlapping HBM boxes (plan-time flag): the
-                    # previous session's write must land before we read.
-                    @pl.when(sorg_ref[0, B, S_WAIT] > 0)
-                    def _(s=s):
-                        _rmw_wait_write(1 - s)
-                    _rmw_read(s, n_azo, n_ayo, xo, n_aph, n_rzo, n_ryo)
+                    if not _RMW_DEFER_READ:
+                        # Overlapping HBM boxes (plan-time flag): the
+                        # previous session's write must land before we
+                        # read. (_RMW_DEFER_READ moves this drain + the
+                        # read one group later, off the critical path.)
+                        @pl.when(sorg_ref[0, B, S_WAIT] > 0)
+                        def _(s=s):
+                            _rmw_wait_write(1 - s)
+                        _rmw_read(s, n_azo, n_ayo, xo, n_aph, n_rzo,
+                                  n_ryo)
 
         azo = jnp.where(new, n_azo, azo)
         ayo = pl.multiple_of(jnp.where(new, n_ayo, ayo), 8)
@@ -1578,6 +1628,7 @@ def _bwd_kernel(
         ryo = jnp.where(new, n_ryo, ryo)
         wf = jnp.where(new, sorg_ref[0, B, S_WAIT], wf)
         k = jnp.where(new, kp, k)
+        rdpend = jnp.where(new, jnp.int32(1), jnp.int32(0))
 
         tx, ty, tz, m_ana, pw = _geometry(
             rays, org_ref[0, B, F_B0], ray_step, dims,
@@ -1856,13 +1907,20 @@ def _bwd_kernel(
                     jnp.int32, (TF_SIZE, GR), 0).astype(jnp.float32)
                 lo_u = jnp.floor(tt_flat)
                 fr = tt_flat - lo_u
+                # bf16 E-matrix probe (j205): halves the equality
+                # one-hot's build/store bandwidth; E entries (0/1) stay
+                # exact, A quantizes to bf16 (~0.4% dTF-grad error) —
+                # fast-mode only, default off pending parity budget.
+                e_bf16 = _DTF_E_BF16 and fast
+                e_dt = jnp.bfloat16 if e_bf16 else jnp.float32
                 if "dtfoh" in abl:
-                    E = jnp.broadcast_to(tt_flat * 1e-30, (TF_SIZE, GR))
+                    E = jnp.broadcast_to(
+                        (tt_flat * 1e-30).astype(e_dt), (TF_SIZE, GR))
                 else:
-                    E = (brow_big == lo_u).astype(jnp.float32)
+                    E = (brow_big == lo_u).astype(e_dt)
                 A = jnp.concatenate(
                     [dcol_big[:4] * (1.0 - fr), dcol_big[:4] * fr],
-                    axis=0)                          # (8, GR)
+                    axis=0).astype(e_dt)             # (8, GR)
                 X = jax.lax.dot_general(
                     A, E, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -2130,7 +2188,7 @@ def _bwd_kernel(
         if dtf_g is not None:
             dtfacc_ref[...] += dtf_g
         return (B + 1, acca, fin, P, azo, ayo, axo, aph, rzo, ryo,
-                k, wf, novfx)
+                k, wf, novfx, rdpend)
 
     def cond(carry):
         B, fin = carry[0], carry[2]
@@ -2146,7 +2204,7 @@ def _bwd_kernel(
     ) if slab else (1.0 - alive0)
     res = jax.lax.while_loop(
         cond, body, (0, acca0, fin0, z, zi, zi, zi, zi, zi, zi,
-                     jnp.int32(-1), zi, z))
+                     jnp.int32(-1), zi, z, zi))
     B_exit = res[0]
     azo, ayo, axo, aph = res[4], res[5], res[6], res[7]
     rzo, ryo, k, wf = res[8], res[9], res[10], res[11]
@@ -2155,6 +2213,19 @@ def _bwd_kernel(
         @pl.when(B_exit < ng_live)
         def _():
             wait_brick(B_exit, B_exit & 1)
+
+    if _RMW_DEFER_READ and need_dvol and "flush" not in abl:
+        # A read still pending at loop exit (session started on the
+        # final processed group, or ERT exit) must be issued before the
+        # exit flush waits on it.
+        rdpend_x = res[13]
+        for s in range(2):
+            @pl.when((k >= 0) & (rdpend_x > 0) & ((k & 1) == s))
+            def _(s=s):
+                @pl.when(wf > 0)
+                def _(s=s):
+                    _rmw_wait_write(1 - s)
+                _rmw_read(s, azo, ayo, axo, aph, rzo, ryo)
 
     @pl.when(k >= 0)
     def _():
@@ -2207,6 +2278,243 @@ def _bwd_kernel(
         dtfacc_ref[...] += dtf_sep - acol * asum
 
     dtf_ref[...] += dtfacc_ref[...]
+
+
+def _fused_kernel(
+    scal_ref, org_ref, rays_ref, v0_ref, v1_ref, v2_ref, v3_ref,
+    tfl_ref, lutl_ref, tgt_ref,
+    dv0_in_ref, dv1_in_ref, dv2_in_ref, dv3_in_ref, sorg_ref,
+    out_ref, dv0_ref, dv1_ref, dv2_ref, dv3_ref, dtf_ref,
+    brick_ref, sem, sv_scr, g_scr, *rest_scr,
+    dims, ray_step, wz, wy, wx, n_phases, fast, no_ert, window,
+    need_dtf, need_dvol,
+):
+    """One-pass fused L2 step: forward march, per-ray MSE cotangent, and
+    the analytic backward in a SINGLE kernel. The per-tile streamed
+    sample values (sv) live in VMEM scratch between the two in-kernel
+    passes instead of round-tripping through HBM (2 x ~1.07 GB at the
+    256^3/1024^2 headline), and the image->cotangent XLA pass + second
+    kernel launch disappear. Unshaded, non-slab (those keep the
+    two-kernel custom_vjp path). ``scal[0, 6]`` carries the loss scale
+    2/denom; ``tgt`` rows 0..3 the target RGBA tile."""
+    _fwd_kernel(
+        scal_ref, org_ref, rays_ref, v0_ref, v1_ref, v2_ref, v3_ref,
+        tfl_ref, lutl_ref, out_ref, sv_scr, brick_ref, sem,
+        dims=dims, ray_step=ray_step, wz=wz, wy=wy, wx=wx,
+        n_phases=n_phases, fast=fast, save_sv=True, no_ert=no_ert)
+    o = out_ref[0]
+    # dL/dout for L = sum((out - tgt)^2) * (scale/2): masked by the
+    # alive flag (dead/padded lanes must not seed cotangent — identical
+    # to the XLA path where untile_rays drops them before the loss).
+    alive = rays_ref[0][8:9]
+    g4 = (o[0:4] - tgt_ref[0][0:4]) * (scal_ref[0, 6] * alive)
+    gt = jnp.sum(g4 * o[0:4], axis=0, keepdims=True)
+    g_scr[0] = jnp.concatenate(
+        [g4, gt, jnp.zeros((3, R), jnp.float32)], axis=0)
+    _bwd_kernel(
+        scal_ref, org_ref, rays_ref, v0_ref, v1_ref, v2_ref, v3_ref,
+        tfl_ref, lutl_ref, g_scr,
+        dv0_in_ref, dv1_in_ref, dv2_in_ref, dv3_in_ref,
+        sv_scr, sorg_ref, dv0_ref, dv1_ref, dv2_ref, dv3_ref, dtf_ref,
+        *rest_scr,
+        dims=dims, ray_step=ray_step, wz=wz, wy=wy, wx=wx,
+        n_phases=n_phases, fast=fast, have_sv=True,
+        brick_shape=(brick_ref.shape[1], brick_ref.shape[2]),
+        no_ert=no_ert, window=window, need_dtf=need_dtf,
+        need_dvol=need_dvol)
+
+
+def _pallas_fused(scal, org, rays_t, vols, tfl, tgt8, *, dims, ray_step,
+                  window, fast, flush=None, no_ert=False, need_dtf=True,
+                  need_dvol=True):
+    """One-launch fused L2 fwd+bwd -> (out_tiles, dvs, dtf)."""
+    t = rays_t.shape[0]
+    ngr = org.shape[1]
+    wz, wy, wx = window[:3]
+    n_phases = len(vols)
+    v4 = list(vols) + [vols[0]] * (4 - n_phases)
+    bz, by = _brick_shape(v4[0].shape, wz, wy, window[3:5])
+    az, ay = _acc_shape(v4[0].shape, wz, wy, window[3:5])
+    if flush is None:
+        fz, fy = az, ay
+    else:
+        fz = min(-(-int(flush[0]) // 8) * 8, az)
+        fy = min(-(-int(flush[1]) // 8) * 8, ay)
+    lutl = jnp.pad(tfl[:, :4].T, ((0, 4), (0, 0)))  # (8, TF_SIZE)
+    kernel = functools.partial(
+        _fused_kernel, dims=dims, ray_step=ray_step, wz=wz, wy=wy,
+        wx=wx, n_phases=n_phases, fast=fast, no_ert=no_ert,
+        window=window, need_dtf=need_dtf, need_dvol=need_dvol)
+    vshape = v4[0].shape
+    dv_shapes = [vshape if p < n_phases else (8, 8, 128)
+                 for p in range(4)]
+    dv_inits = [jnp.zeros(s, jnp.float32) for s in dv_shapes]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, ngr, ORG_C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, layout.N_CHANNELS, R), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, R), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((1, ngr, SORG_C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    sorg, lost_t = plan_sessions(org, vshape, wz, wy, fz, fy, wx,
+                                 bpad=window[3:5])
+    out_specs = (
+        pl.BlockSpec((1, 8, R), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(tfl.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((t, 8, R), jnp.float32),
+        *(jax.ShapeDtypeStruct(s, jnp.float32) for s in dv_shapes),
+        jax.ShapeDtypeStruct(tfl.shape, jnp.float32),
+    )
+    xbw = window[5] if len(window) > 5 else 0
+    outs = pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, bz, by, 128), v4[0].dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((1, ngr * G, R), jnp.float32),
+            pltpu.VMEM((1, 8, R), jnp.float32),
+            pltpu.VMEM((az, ay, 128), jnp.float32),
+            pltpu.VMEM((2, fz, fy, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM(tfl.shape, jnp.float32),
+        ] + ([pltpu.VMEM((wx, R), jnp.float32)] if 0 < xbw < wx else [])
+        + ([pltpu.VMEM((TF_SIZE, R), jnp.float32),
+            pltpu.VMEM((TF_SIZE, R), jnp.float32)] if _DTF_SEP else []),
+        input_output_aliases={10: 1, 11: 2, 12: 3, 13: 4},
+        compiler_params=tpu_compiler_params(),
+        interpret=interpret_mode(),
+    )(scal, org, rays_t, *v4, tfl, lutl, tgt8, *dv_inits, sorg)
+    dtf = outs[5]
+    if (fz, fy) != (az, ay):
+        dtf = dtf.at[0, 7].add(jnp.sum(lost_t).astype(jnp.float32))
+    return outs[0], outs[1:1 + n_phases], dtf
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11,
+                                                    12, 13))
+def _loss_tiles_fused(scal, org, rays_t, vols, tfl, tgt8,
+                      dims, ray_step, window, fast, flush, no_ert,
+                      need_dtf, need_dvol):
+    out, _, _ = _pallas_fused(
+        scal, org, rays_t, vols, tfl, tgt8, dims=dims,
+        ray_step=ray_step, window=window, fast=fast, flush=flush,
+        no_ert=no_ert, need_dtf=need_dtf, need_dvol=need_dvol)
+    diff = out[:, :4, :] - tgt8[:, :4, :]
+    return jnp.sum(diff * diff) * (scal[0, 6] * 0.5)
+
+
+def _loss_fused_fwd(scal, org, rays_t, vols, tfl, tgt8, dims, ray_step,
+                    window, fast, flush, no_ert, need_dtf, need_dvol):
+    out, dvs, dtf = _pallas_fused(
+        scal, org, rays_t, vols, tfl, tgt8, dims=dims,
+        ray_step=ray_step, window=window, fast=fast, flush=flush,
+        no_ert=no_ert, need_dtf=need_dtf, need_dvol=need_dvol)
+    diff = out[:, :4, :] - tgt8[:, :4, :]
+    loss = jnp.sum(diff * diff) * (scal[0, 6] * 0.5)
+    return loss, (scal, org, rays_t, tgt8, dvs, dtf)
+
+
+def _loss_fused_bwd(dims, ray_step, window, fast, flush, no_ert,
+                    need_dtf, need_dvol, res, gbar):
+    scal, org, rays_t, tgt8, dvs, dtf = res
+    return (jnp.zeros_like(scal), jnp.zeros_like(org),
+            jnp.zeros_like(rays_t), tuple(dv * gbar for dv in dvs),
+            dtf * gbar, jnp.zeros_like(tgt8))
+
+
+_loss_tiles_fused.defvjp(_loss_fused_fwd, _loss_fused_bwd)
+
+
+def l2_loss_grads_v3_onepass(scene, view, target, ray_threshold=0.95,
+                             window=None, fast=False, flush=None,
+                             plan=None, need_dtf=True, need_dvol=True):
+    """Full-image MSE loss + scene gradients in ONE kernel launch.
+
+    Mathematically identical to ``value_and_grad(lambda s:
+    mean((render_image_v3(s, view, ...) - target) ** 2))`` through the
+    fused two-kernel path, but the forward march, the per-ray L2
+    cotangent, and the analytic backward run in a single Pallas kernel:
+    the per-tile sample values stay in VMEM scratch between the
+    in-kernel passes, removing the streamed-sv HBM round-trip and a
+    kernel launch. Unshaded, non-slab (train paths with shading keep
+    the two-kernel route). ``flush``/``window``/``plan`` as in
+    :func:`render_view_v3`."""
+    d, h, w = scene.density.shape
+    dims = (w, h, d)
+    wv, hv = view.dims
+    window = _view_window(dims, view, window, False, False)
+    no_ert = (isinstance(ray_threshold, (int, float))
+              and ray_threshold >= 1.0)
+    wp, hp = layout.pad_dims(wv, hv, TILE, TILE)
+    tgt = jnp.asarray(target, jnp.float32)
+    tgt = jnp.pad(tgt, ((0, hp - hv), (0, wp - wv), (0, 0)))
+    tgt_t = layout.tile_rays(tgt, wv, hv, tile_w=TILE, tile_h=TILE)
+    tgt8 = jnp.pad(jnp.swapaxes(tgt_t, 1, 2),
+                   ((0, 0), (0, 4), (0, 0)))          # (T, 8, R)
+    denom = float(hv) * float(wv) * 4.0
+    scal = jnp.concatenate([
+        jnp.asarray(ray_threshold, jnp.float32).reshape(1),
+        jnp.zeros(5, jnp.float32),
+        jnp.asarray(2.0 / denom, jnp.float32).reshape(1),
+        jnp.zeros(1, jnp.float32)]).reshape(1, 8)
+    if plan is None:
+        tiles = layout.prepare_ray_tiles_raw(
+            view, scene.ray_step, None, tile_w=TILE, tile_h=TILE)
+        rays_t = jnp.swapaxes(tiles, 1, 2)
+        vshape = _padded_vshape(scene.density.shape, window[2])
+        bz, by = _brick_shape(vshape, window[0], window[1],
+                              window[3:5])
+        org = plan_windows(
+            tiles, dims, vshape, scene.ray_step, window[0], window[1],
+            bz, by, wx=window[2], view_dims=view.dims)
+    else:
+        org, rays_t = plan.org, plan.rays_t
+    fl = None if flush is None else tuple(flush)
+
+    def outer(density, tf_base):
+        premult = jnp.concatenate(
+            [tf_base[:, :3] * tf_base[:, 3:4], tf_base[:, 3:4]],
+            axis=-1)
+        tfl = jnp.pad(premult, ((0, 0), (0, 4)))
+        vols = _phase_volumes(
+            density, window[2],
+            storage=jnp.bfloat16 if fast else None)
+        return _loss_tiles_fused(
+            scal, org, rays_t, vols, tfl, tgt8, dims, scene.ray_step,
+            window, fast, fl, no_ert, bool(need_dtf), bool(need_dvol))
+
+    loss, (dd, dtfb) = jax.value_and_grad(outer, argnums=(0, 1))(
+        scene.density, scene.tf_base)
+    grads = jax.tree.map(jnp.zeros_like, scene).replace(
+        density=dd, tf_base=dtfb)
+    return loss, grads
 
 
 def _brick_shape(vol_shape, wz, wy, bpad=None):
