@@ -51,9 +51,18 @@ def main() -> int:
     window = (4, 16, 64, 32, 32) if backend != "cpu" else None
     flush = (96, 16) if backend != "cpu" else None
     gsize = 32 if backend != "cpu" else None
+    # Round 5 session 2: the step runs as ONE kernel launch
+    # (diff_v3.l2_loss_grads_v3_onepass — forward march + per-ray L2
+    # cotangent + analytic backward, sv in VMEM scratch) with deferred
+    # flush-box session reads (_RMW_DEFER_READ): 170.5 -> 152.1 ms
+    # (1.91e9 rays*steps/s). Gradients bit-identical to the two-kernel
+    # custom_vjp path on hardware; window/flush validated by the
+    # planned_window_ovf/planned_flush_lost guards in bench_diff_step
+    # (a bpad-tightening sweep point that silently dropped samples is
+    # now REJECTED at plan time — BASELINE.md round-5 session 2).
     m = bench_diff_step(
         volume_size=size, viewport=viewport, iters=iters, window=window,
-        flush=flush, group_size=gsize)
+        flush=flush, group_size=gsize, onepass=True)
     # Forward-only companion run at the same config: the forward bound
     # the fwd+bwd step chases, with its own MFU (SURVEY §5 roofline
     # accounting; model = the windowed one-hot gather matmul march).

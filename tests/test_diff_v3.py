@@ -994,3 +994,27 @@ class TestOnePassFused:
         np.testing.assert_array_equal(
             np.asarray(g_a.density), np.asarray(g_b.density))
         np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-6)
+
+    def test_esl_matches_two_kernel(self):
+        """esl=True onepass: plan-time empty-group compaction derived
+        from the live TF, matching the two-kernel esl path."""
+        from volrt.renderers.pallas.diff_v3 import (
+            l2_loss_grads_v3_onepass)
+
+        scene, view = setup()
+        target = jnp.zeros(view.dims[::-1] + (4,), jnp.float32)
+
+        def loss_fn(s):
+            img = render_image_v3(s, view, ray_threshold=2.0, esl=True)
+            return jnp.mean((img - target) ** 2)
+
+        l_ref, g_ref = jax.value_and_grad(loss_fn)(scene)
+        l_op, g_op = jax.jit(lambda s: l2_loss_grads_v3_onepass(
+            s, view, target, ray_threshold=2.0, esl=True))(scene)
+        assert abs(float(l_ref) - float(l_op)) < 1e-6
+        np.testing.assert_allclose(
+            np.asarray(g_ref.density), np.asarray(g_op.density),
+            atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(g_ref.tf_base), np.asarray(g_op.tf_base),
+            atol=1e-7)

@@ -399,38 +399,52 @@ def run_diff_suite(
         view = cam.view()
         target = jnp.zeros((viewport, viewport, 4), jnp.float32)
 
+        variants = []
         if fused:
             from volrt.diff.fused import l2_loss_fused
 
             loss_fn = functools.partial(l2_loss_fused, fast=True)
+            variants.append((name, jax.value_and_grad(loss_fn)))
+            # One-launch L2 step (forward + cotangent + backward in a
+            # single kernel; diff_v3.l2_loss_grads_v3_onepass) — the
+            # round-5 production training path, as its own suite row.
+            from volrt.renderers.pallas.diff_v3 import (
+                l2_loss_grads_v3_onepass)
+
+            variants.append((
+                "fused-onepass",
+                functools.partial(l2_loss_grads_v3_onepass, fast=True)))
         else:
             from volrt.diff.render import render_diff_image
 
             def loss_fn(s, v, t):
                 return jnp.mean((render_diff_image(s, v) - t) ** 2)
-        grad_fn = jax.value_and_grad(loss_fn)
-        if jax.default_backend() != "cpu":
-            # The outer jit fuses the whole step on TPU; on CPU a second
-            # differently-shaped outer-jit-of-grad-of-inner-jit trace
-            # trips a JAX 0.9 executable-lookup bug ("Execution supplied
-            # 8 buffers but compiled program expected 15"), and the
-            # inner render jit already carries the compute.
-            grad_fn = jax.jit(grad_fn)
-        try:
-            loss, grads = grad_fn(scene, view, target)
-            jax.device_get(jnp.sum(grads.density))
-        except Exception as e:  # OOM / unsupported size
-            log(f"bench {cfg}/{name}: skipped ({e})")
-            continue
+            variants.append((name, jax.value_and_grad(loss_fn)))
         timed_out = False
-        for _ in range(frames):
-            prof.start(cfg, name)
-            loss, grads = grad_fn(scene, view, target)
-            jax.device_get(jnp.sum(grads.density))
-            ms = prof.stop()
-            if ms > MAX_BENCH_SAMPLE_MS:
-                timed_out = True
-                break
+        for vname, grad_fn in variants:
+            if jax.default_backend() != "cpu":
+                # The outer jit fuses the whole step on TPU; on CPU a
+                # second differently-shaped outer-jit-of-grad-of-inner-
+                # jit trace trips a JAX 0.9 executable-lookup bug
+                # ("Execution supplied 8 buffers but compiled program
+                # expected 15"), and the inner render jit already
+                # carries the compute.
+                grad_fn = jax.jit(grad_fn)
+            try:
+                loss, grads = grad_fn(scene, view, target)
+                jax.device_get(jnp.sum(grads.density))
+            except Exception as e:  # OOM / unsupported size
+                log(f"bench {cfg}/{vname}: skipped ({e})")
+                continue
+            timed_out = False
+            for _ in range(frames):
+                prof.start(cfg, vname)
+                loss, grads = grad_fn(scene, view, target)
+                jax.device_get(jnp.sum(grads.density))
+                ms = prof.stop()
+                if ms > MAX_BENCH_SAMPLE_MS:
+                    timed_out = True
+                    break
         if fused and not timed_out:
             # Roofline column (SURVEY §5's Profiler-equivalent): model
             # FLOPs of the nominal fwd+bwd march over chip peak. Noted
@@ -514,6 +528,20 @@ def bench_diff_step(
             raise ValueError(
                 f"flush={flush} drops {lost} gradient rows for this "
                 "config (planned_flush_lost > 0); enlarge the flush box")
+    if fused and window is not None:
+        # Pose-tuned windows/brick pads silently corrupt samples when the
+        # brick clamp pulls a window off its planned line (j210 caught a
+        # bpad sweep point altering the loss): the plan replay proves
+        # the static window exact for this (volume, pose, ray_step).
+        from volrt.renderers.pallas.diff_v3 import planned_window_ovf
+
+        povf = int(planned_window_ovf(
+            scene.density.shape, view, float(ray_step), tuple(window)))
+        if povf:
+            raise ValueError(
+                f"window={window} drops {povf} planned taps for this "
+                "config (planned_window_ovf > 0); widen the window or "
+                "brick pads")
 
     if fused:
         import functools

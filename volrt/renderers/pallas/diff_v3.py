@@ -206,6 +206,13 @@ _DTF_KMERGE = os.environ.get("VOLRT_DTF_KMERGE", "trans2")
 # flush, so every read is issued exactly once before its wait.
 _RMW_DEFER_READ = True
 
+# Packed TF lane gathers (fast mode only): the four TF channel rows
+# pack pairwise into int32 rows (bf16 halves), halving the gather count
+# in the forward TF lookup and the backward slope gathers. TF entries
+# round to bf16 (~the reference's 9-bit-fraction tex1D lerp quality).
+# Measurement flag (j210).
+_TF_PACK_BF16 = False
+
 # bf16 operands for the trans2 dTF equality matmul (fast mode only):
 # E is exact in bf16; A rounds (~0.4% relative on the TF cotangent).
 # Measurement flag (j205) — default off.
@@ -1031,12 +1038,37 @@ def _brick_dma(vol_refs, brick_slot, sem_slot, org, B, bz, by, wx):
     return start, wait
 
 
-def _tf_gather(sv8, ovf8, lutl):
+def _pack2_bf16(a, b):
+    """Two f32 rows -> one int32 row carrying both as bf16 halves:
+    bits(a_bf16) in the high 16, bits(b_bf16) in the low 16. One lane
+    gather then serves two channels (see _tf_gather)."""
+    ba = jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16).astype(jnp.float32), jnp.int32)
+    bb = jax.lax.bitcast_convert_type(
+        b.astype(jnp.bfloat16).astype(jnp.float32), jnp.int32)
+    return ba | jax.lax.shift_right_logical(bb, 16)
+
+
+def _unpack2_bf16(u):
+    """Inverse of _pack2_bf16: int32 -> (high f32, low f32). A bf16's
+    f32 value is its bit pattern in the top 16 bits, so both halves
+    unpack with one mask/shift + bitcast (exact)."""
+    hi = jax.lax.bitcast_convert_type(u & jnp.int32(-65536), jnp.float32)
+    lo = jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(u, 16), jnp.float32)
+    return hi, lo
+
+
+def _tf_gather(sv8, ovf8, lutl, pack=False):
     """Batched linear-interp TF lookup for one group's samples.
 
     ``sv8 (G, R)`` densities -> per-channel colors ``(G, 128)`` (first R
     lanes valid) via lane gathers against the lane-major LUT ``(8, 128)``
     — replacing a per-band one-hot matmul (measured 35% of forward time).
+    ``pack=True`` (fast mode): the four channel rows pack pairwise into
+    two int32 rows (bf16 halves, _pack2_bf16), halving the lane-gather
+    count — 8 gathers/group -> 4. TF entries round to bf16, within the
+    fast path's existing bf16 sampling precision.
     """
     del ovf8
     lanes = max(R, 128)
@@ -1047,6 +1079,20 @@ def _tf_gather(sv8, ovf8, lutl):
     lo = tt.astype(jnp.int32)                    # floor for tt >= 0
     hi = jnp.minimum(lo + 1, TF_SIZE - 1)
     fr = tt - lo.astype(jnp.float32)
+    if pack and lanes == 128 and TF_SIZE <= 128:
+        cols = []
+        for pr in (_pack2_bf16(lutl[0:1], lutl[1:2]),
+                   _pack2_bf16(lutl[2:3], lutl[3:4])):
+            src = jnp.broadcast_to(pr, (G, 128))
+            vlo = jnp.take_along_axis(src, lo, axis=1)
+            vhi = jnp.take_along_axis(src, hi, axis=1)
+            alo, blo = _unpack2_bf16(vlo)
+            ahi, bhi = _unpack2_bf16(vhi)
+            cols.append(alo * (1.0 - fr) + ahi * fr)
+            cols.append(blo * (1.0 - fr) + bhi * fr)
+        in_rng = ((tt > 0.0) & (tt < TF_SIZE - 1.0)
+                  & (svp > 0.0) & (svp < 1.0)).astype(jnp.float32)
+        return cols, (tt, lo, in_rng)
     # Mosaic lane gathers cannot span 128-lane vreg tiles: gather each
     # tile's chunk separately and concatenate (static slices, free).
     cols = []
@@ -1225,7 +1271,8 @@ def _fwd_kernel(
         if "tf" in _FWD_ABLATE:
             cr8 = cg8 = cb8 = ca8 = sv8 * 0.01
         else:
-            (cr8, cg8, cb8, ca8), _ = _tf_gather(sv8, ovf8, lutl)
+            (cr8, cg8, cb8, ca8), _ = _tf_gather(
+                sv8, ovf8, lutl, pack=_TF_PACK_BF16 and fast)
         if shade:
             sv8_2 = jnp.concatenate(svals2, axis=0)
             if save_sv:
@@ -1731,11 +1778,21 @@ def _bwd_kernel(
             rng8 = jnp.ones_like(svp)
         else:
             (cr8, cg8, cb8, ca8), (tt8, lo8, rng8) = _tf_gather(
-                sv8, None, lutl)
+                sv8, None, lutl, pack=_TF_PACK_BF16 and fast)
         # Batched slope gathers (replaces a per-band d(one-hot) matmul).
         lanes = max(R, 128)
         if "slopes" in abl:
             slopes = [tt8 * (0.001 * (c + 1)) for c in range(4)]
+        elif _TF_PACK_BF16 and fast and lanes == 128:
+            # Packed slope gathers (see _TF_PACK_BF16): 4 -> 2.
+            slopes = []
+            for pr in (_pack2_bf16(slopel[0:1], slopel[1:2]),
+                       _pack2_bf16(slopel[2:3], slopel[3:4])):
+                src = jnp.broadcast_to(pr, (G, 128))
+                v = jnp.take_along_axis(src, lo8, axis=1)
+                sa, sb = _unpack2_bf16(v)
+                slopes.append(sa)
+                slopes.append(sb)
         else:
             slopes = []
             for c in range(4):
@@ -2454,7 +2511,8 @@ _loss_tiles_fused.defvjp(_loss_fused_fwd, _loss_fused_bwd)
 
 def l2_loss_grads_v3_onepass(scene, view, target, ray_threshold=0.95,
                              window=None, fast=False, flush=None,
-                             plan=None, need_dtf=True, need_dvol=True):
+                             plan=None, need_dtf=True, need_dvol=True,
+                             esl=False):
     """Full-image MSE loss + scene gradients in ONE kernel launch.
 
     Mathematically identical to ``value_and_grad(lambda s:
@@ -2465,7 +2523,12 @@ def l2_loss_grads_v3_onepass(scene, view, target, ray_threshold=0.95,
     in-kernel passes, removing the streamed-sv HBM round-trip and a
     kernel launch. Unshaded, non-slab (train paths with shading keep
     the two-kernel route). ``flush``/``window``/``plan`` as in
-    :func:`render_view_v3`."""
+    :func:`render_view_v3`. ``esl=True`` re-derives plan-time
+    empty-group compaction from the live scene TF (mutually exclusive
+    with ``plan``, which would embed a stale empty set)."""
+    if esl and plan is not None:
+        raise ValueError(
+            "plan embeds a fixed empty set; use esl=True without a plan")
     d, h, w = scene.density.shape
     dims = (w, h, d)
     wv, hv = view.dims
@@ -2491,9 +2554,15 @@ def l2_loss_grads_v3_onepass(scene, view, target, ray_threshold=0.95,
         vshape = _padded_vshape(scene.density.shape, window[2])
         bz, by = _brick_shape(vshape, window[0], window[1],
                               window[3:5])
+        empty = esl_block = None
+        if esl:
+            from volrt.diff.render import scene_empty_grid
+
+            empty, esl_block, _ = scene_empty_grid(scene)
         org = plan_windows(
             tiles, dims, vshape, scene.ray_step, window[0], window[1],
-            bz, by, wx=window[2], view_dims=view.dims)
+            bz, by, wx=window[2], view_dims=view.dims,
+            empty=empty, esl_block=esl_block)
     else:
         org, rays_t = plan.org, plan.rays_t
     fl = None if flush is None else tuple(flush)

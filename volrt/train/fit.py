@@ -371,6 +371,28 @@ def fit(
                     window=None if window is None else tuple(window),
                     flush=flush, need_dtf=train_tf,
                     need_dvol=train_density)
+        if (loss_grads_fn is None and fused and mesh is None
+                and not volume_sharded and not shading):
+            # Unshaded single-chip fused training rides the one-pass
+            # kernel: forward march + per-ray L2 cotangent + analytic
+            # backward in ONE launch (no streamed-sv HBM round-trip) —
+            # gradients match the two-kernel path to float epsilon
+            # (bit-identical on hardware at the headline pose). Views
+            # outside the v3 footprint envelope keep the two-kernel
+            # fallback ladder.
+            from volrt.diff.fused import _v3_fits
+            from volrt.renderers.pallas.diff_v3 import (
+                l2_loss_grads_v3_onepass)
+
+            def loss_grads_fn(scene, view, target, plan=None, _esl=esl):
+                if not _v3_fits(scene, view, window):
+                    return jax.value_and_grad(
+                        lambda s: loss_fn(s, view, target, plan))(scene)
+                return l2_loss_grads_v3_onepass(
+                    scene, view, target, fast=True,
+                    window=None if window is None else tuple(window),
+                    flush=flush, plan=plan, need_dtf=train_tf,
+                    need_dvol=train_density, esl=_esl)
         return make_train_step(
             optimizer, loss_fn=loss_fn,
             train_density=train_density, train_tf=train_tf, mesh=mesh,
