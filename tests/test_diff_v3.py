@@ -1018,3 +1018,39 @@ class TestOnePassFused:
         np.testing.assert_allclose(
             np.asarray(g_ref.tf_base), np.asarray(g_op.tf_base),
             atol=1e-7)
+
+    def test_shaded_matches_two_kernel(self):
+        """Diffuse/phong onepass: the shaded channels (light-tap sample,
+        phong gradient taps) ride VMEM scratch between the in-kernel
+        passes; gradients must match the two-kernel custom_vjp path."""
+        from volrt.renderers.pallas.diff_v3 import (
+            l2_loss_grads_v3_onepass, prepare_view_plan)
+
+        scene, view = setup()
+        rng = np.random.RandomState(0)
+        target = jnp.asarray(
+            rng.rand(*view.dims[::-1], 4), jnp.float32)
+        for sh, ph in ((True, False), (False, True)):
+            plan = prepare_view_plan(
+                scene.density.shape, view, float(scene.ray_step),
+                None, sh, ph)
+
+            def loss_fn(s, sh=sh, ph=ph, plan=plan):
+                img = render_image_v3(
+                    s, view, ray_threshold=0.95, shaded=sh, phong=ph,
+                    light_kd=0.6, plan=plan)
+                return jnp.mean((img - target) ** 2)
+
+            l_ref, g_ref = jax.value_and_grad(loss_fn)(scene)
+            l_op, g_op = jax.jit(
+                lambda s, sh=sh, ph=ph, plan=plan:
+                l2_loss_grads_v3_onepass(
+                    s, view, target, ray_threshold=0.95, shaded=sh,
+                    phong=ph, light_kd=0.6, plan=plan))(scene)
+            assert abs(float(l_ref) - float(l_op)) < 1e-6
+            np.testing.assert_allclose(
+                np.asarray(g_ref.density), np.asarray(g_op.density),
+                atol=1e-8)
+            np.testing.assert_allclose(
+                np.asarray(g_ref.tf_base), np.asarray(g_op.tf_base),
+                atol=1e-7)

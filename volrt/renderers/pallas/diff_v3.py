@@ -2342,23 +2342,31 @@ def _fused_kernel(
     tfl_ref, lutl_ref, tgt_ref,
     dv0_in_ref, dv1_in_ref, dv2_in_ref, dv3_in_ref, sorg_ref,
     out_ref, dv0_ref, dv1_ref, dv2_ref, dv3_ref, dtf_ref,
-    brick_ref, sem, sv_scr, g_scr, *rest_scr,
+    brick_ref, sem, *scr,
     dims, ray_step, wz, wy, wx, n_phases, fast, no_ert, window,
-    need_dtf, need_dvol,
+    need_dtf, need_dvol, shade=False, phong=False,
 ):
     """One-pass fused L2 step: forward march, per-ray MSE cotangent, and
     the analytic backward in a SINGLE kernel. The per-tile streamed
-    sample values (sv) live in VMEM scratch between the two in-kernel
-    passes instead of round-tripping through HBM (2 x ~1.07 GB at the
-    256^3/1024^2 headline), and the image->cotangent XLA pass + second
-    kernel launch disappear. Unshaded, non-slab (those keep the
-    two-kernel custom_vjp path). ``scal[0, 6]`` carries the loss scale
-    2/denom; ``tgt`` rows 0..3 the target RGBA tile."""
+    sample values (sv — plus the light-tap/gradient channels under
+    shade/phong) live in VMEM scratch between the two in-kernel passes
+    instead of round-tripping through HBM (2 x ~1.07 GB unshaded at the
+    256^3/1024^2 headline; phong's 4.3 GB made the two-kernel path
+    REPLAY its whole forward instead — here the channels are free), and
+    the image->cotangent XLA pass + second kernel launch disappear.
+    Non-slab (that keeps the two-kernel custom_vjp path).
+    ``scal[0, 6]`` carries the loss scale 2/denom; ``tgt`` rows 0..3
+    the target RGBA tile."""
+    n_sv = 1 + int(shade) + 3 * int(phong)
+    sv_scrs = scr[:n_sv]
+    g_scr = scr[n_sv]
+    rest_scr = scr[n_sv + 1:]
     _fwd_kernel(
         scal_ref, org_ref, rays_ref, v0_ref, v1_ref, v2_ref, v3_ref,
-        tfl_ref, lutl_ref, out_ref, sv_scr, brick_ref, sem,
+        tfl_ref, lutl_ref, out_ref, *sv_scrs, brick_ref, sem,
         dims=dims, ray_step=ray_step, wz=wz, wy=wy, wx=wx,
-        n_phases=n_phases, fast=fast, save_sv=True, no_ert=no_ert)
+        n_phases=n_phases, fast=fast, save_sv=True, no_ert=no_ert,
+        shade=shade, phong=phong)
     o = out_ref[0]
     # dL/dout for L = sum((out - tgt)^2) * (scale/2): masked by the
     # alive flag (dead/padded lanes must not seed cotangent — identical
@@ -2372,19 +2380,20 @@ def _fused_kernel(
         scal_ref, org_ref, rays_ref, v0_ref, v1_ref, v2_ref, v3_ref,
         tfl_ref, lutl_ref, g_scr,
         dv0_in_ref, dv1_in_ref, dv2_in_ref, dv3_in_ref,
-        sv_scr, sorg_ref, dv0_ref, dv1_ref, dv2_ref, dv3_ref, dtf_ref,
-        *rest_scr,
+        *sv_scrs, sorg_ref, dv0_ref, dv1_ref, dv2_ref, dv3_ref,
+        dtf_ref, *rest_scr,
         dims=dims, ray_step=ray_step, wz=wz, wy=wy, wx=wx,
         n_phases=n_phases, fast=fast, have_sv=True,
         brick_shape=(brick_ref.shape[1], brick_ref.shape[2]),
         no_ert=no_ert, window=window, need_dtf=need_dtf,
-        need_dvol=need_dvol)
+        need_dvol=need_dvol, shade=shade, phong=phong)
 
 
 def _pallas_fused(scal, org, rays_t, vols, tfl, tgt8, *, dims, ray_step,
                   window, fast, flush=None, no_ert=False, need_dtf=True,
-                  need_dvol=True):
+                  need_dvol=True, shade=False, phong=False):
     """One-launch fused L2 fwd+bwd -> (out_tiles, dvs, dtf)."""
+    assert not (shade and phong)
     t = rays_t.shape[0]
     ngr = org.shape[1]
     wz, wy, wx = window[:3]
@@ -2401,7 +2410,8 @@ def _pallas_fused(scal, org, rays_t, vols, tfl, tgt8, *, dims, ray_step,
     kernel = functools.partial(
         _fused_kernel, dims=dims, ray_step=ray_step, wz=wz, wy=wy,
         wx=wx, n_phases=n_phases, fast=fast, no_ert=no_ert,
-        window=window, need_dtf=need_dtf, need_dvol=need_dvol)
+        window=window, need_dtf=need_dtf, need_dvol=need_dvol,
+        shade=shade, phong=phong)
     vshape = v4[0].shape
     dv_shapes = [vshape if p < n_phases else (8, 8, 128)
                  for p in range(4)]
@@ -2445,6 +2455,9 @@ def _pallas_fused(scal, org, rays_t, vols, tfl, tgt8, *, dims, ray_step,
         jax.ShapeDtypeStruct(tfl.shape, jnp.float32),
     )
     xbw = window[5] if len(window) > 5 else 0
+    n_sv = 1 + int(shade) + 3 * int(phong)
+    use_xbox = not shade and not phong and 0 < xbw < wx
+    use_sep = _DTF_SEP and not shade and not phong
     outs = pl.pallas_call(
         kernel,
         grid=(t,),
@@ -2454,16 +2467,17 @@ def _pallas_fused(scal, org, rays_t, vols, tfl, tgt8, *, dims, ray_step,
         scratch_shapes=[
             pltpu.VMEM((2, bz, by, 128), v4[0].dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((1, ngr * G, R), jnp.float32),
+        ] + [pltpu.VMEM((1, ngr * G, R), jnp.float32)
+             for _ in range(n_sv)] + [
             pltpu.VMEM((1, 8, R), jnp.float32),
             pltpu.VMEM((az, ay, 128), jnp.float32),
             pltpu.VMEM((2, fz, fy, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM(tfl.shape, jnp.float32),
-        ] + ([pltpu.VMEM((wx, R), jnp.float32)] if 0 < xbw < wx else [])
+        ] + ([pltpu.VMEM((wx, R), jnp.float32)] if use_xbox else [])
         + ([pltpu.VMEM((TF_SIZE, R), jnp.float32),
-            pltpu.VMEM((TF_SIZE, R), jnp.float32)] if _DTF_SEP else []),
+            pltpu.VMEM((TF_SIZE, R), jnp.float32)] if use_sep else []),
         input_output_aliases={10: 1, 11: 2, 12: 3, 13: 4},
         compiler_params=tpu_compiler_params(),
         interpret=interpret_mode(),
@@ -2475,31 +2489,34 @@ def _pallas_fused(scal, org, rays_t, vols, tfl, tgt8, *, dims, ray_step,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11,
-                                                    12, 13))
+                                                    12, 13, 14, 15))
 def _loss_tiles_fused(scal, org, rays_t, vols, tfl, tgt8,
                       dims, ray_step, window, fast, flush, no_ert,
-                      need_dtf, need_dvol):
+                      need_dtf, need_dvol, shade=False, phong=False):
     out, _, _ = _pallas_fused(
         scal, org, rays_t, vols, tfl, tgt8, dims=dims,
         ray_step=ray_step, window=window, fast=fast, flush=flush,
-        no_ert=no_ert, need_dtf=need_dtf, need_dvol=need_dvol)
+        no_ert=no_ert, need_dtf=need_dtf, need_dvol=need_dvol,
+        shade=shade, phong=phong)
     diff = out[:, :4, :] - tgt8[:, :4, :]
     return jnp.sum(diff * diff) * (scal[0, 6] * 0.5)
 
 
 def _loss_fused_fwd(scal, org, rays_t, vols, tfl, tgt8, dims, ray_step,
-                    window, fast, flush, no_ert, need_dtf, need_dvol):
+                    window, fast, flush, no_ert, need_dtf, need_dvol,
+                    shade=False, phong=False):
     out, dvs, dtf = _pallas_fused(
         scal, org, rays_t, vols, tfl, tgt8, dims=dims,
         ray_step=ray_step, window=window, fast=fast, flush=flush,
-        no_ert=no_ert, need_dtf=need_dtf, need_dvol=need_dvol)
+        no_ert=no_ert, need_dtf=need_dtf, need_dvol=need_dvol,
+        shade=shade, phong=phong)
     diff = out[:, :4, :] - tgt8[:, :4, :]
     loss = jnp.sum(diff * diff) * (scal[0, 6] * 0.5)
     return loss, (scal, org, rays_t, tgt8, dvs, dtf)
 
 
 def _loss_fused_bwd(dims, ray_step, window, fast, flush, no_ert,
-                    need_dtf, need_dvol, res, gbar):
+                    need_dtf, need_dvol, shade, phong, res, gbar):
     scal, org, rays_t, tgt8, dvs, dtf = res
     return (jnp.zeros_like(scal), jnp.zeros_like(org),
             jnp.zeros_like(rays_t), tuple(dv * gbar for dv in dvs),
@@ -2512,7 +2529,8 @@ _loss_tiles_fused.defvjp(_loss_fused_fwd, _loss_fused_bwd)
 def l2_loss_grads_v3_onepass(scene, view, target, ray_threshold=0.95,
                              window=None, fast=False, flush=None,
                              plan=None, need_dtf=True, need_dvol=True,
-                             esl=False):
+                             esl=False, shaded=False, phong=False,
+                             light_kd=0.6):
     """Full-image MSE loss + scene gradients in ONE kernel launch.
 
     Mathematically identical to ``value_and_grad(lambda s:
@@ -2529,10 +2547,12 @@ def l2_loss_grads_v3_onepass(scene, view, target, ray_threshold=0.95,
     if esl and plan is not None:
         raise ValueError(
             "plan embeds a fixed empty set; use esl=True without a plan")
+    if shaded and phong:
+        raise ValueError("shaded and phong are mutually exclusive")
     d, h, w = scene.density.shape
     dims = (w, h, d)
     wv, hv = view.dims
-    window = _view_window(dims, view, window, False, False)
+    window = _view_window(dims, view, window, shaded, phong)
     no_ert = (isinstance(ray_threshold, (int, float))
               and ray_threshold >= 1.0)
     wp, hp = layout.pad_dims(wv, hv, TILE, TILE)
@@ -2542,9 +2562,12 @@ def l2_loss_grads_v3_onepass(scene, view, target, ray_threshold=0.95,
     tgt8 = jnp.pad(jnp.swapaxes(tgt_t, 1, 2),
                    ((0, 0), (0, 4), (0, 0)))          # (T, 8, R)
     denom = float(hv) * float(wv) * 4.0
+    lp = view.light_pos.astype(jnp.float32).reshape(3)
     scal = jnp.concatenate([
         jnp.asarray(ray_threshold, jnp.float32).reshape(1),
-        jnp.zeros(5, jnp.float32),
+        jnp.asarray(light_kd if (shaded or phong) else 0.0,
+                    jnp.float32).reshape(1),
+        lp, jnp.zeros(1, jnp.float32),
         jnp.asarray(2.0 / denom, jnp.float32).reshape(1),
         jnp.zeros(1, jnp.float32)]).reshape(1, 8)
     if plan is None:
@@ -2577,7 +2600,8 @@ def l2_loss_grads_v3_onepass(scene, view, target, ray_threshold=0.95,
             storage=jnp.bfloat16 if fast else None)
         return _loss_tiles_fused(
             scal, org, rays_t, vols, tfl, tgt8, dims, scene.ray_step,
-            window, fast, fl, no_ert, bool(need_dtf), bool(need_dvol))
+            window, fast, fl, no_ert, bool(need_dtf), bool(need_dvol),
+            bool(shaded) and not phong, bool(phong))
 
     loss, (dd, dtfb) = jax.value_and_grad(outer, argnums=(0, 1))(
         scene.density, scene.tf_base)

@@ -372,11 +372,13 @@ def fit(
                     flush=flush, need_dtf=train_tf,
                     need_dvol=train_density)
         if (loss_grads_fn is None and fused and mesh is None
-                and not volume_sharded and not shading):
-            # Unshaded single-chip fused training rides the one-pass
-            # kernel: forward march + per-ray L2 cotangent + analytic
-            # backward in ONE launch (no streamed-sv HBM round-trip) —
-            # gradients match the two-kernel path to float epsilon
+                and not volume_sharded):
+            # Single-chip fused training rides the one-pass kernel:
+            # forward march + per-ray L2 cotangent + analytic backward
+            # in ONE launch (no streamed-sv HBM round-trip; phong's
+            # gradient channels — which previously forced a full
+            # forward REPLAY in the backward — stay in VMEM scratch).
+            # Gradients match the two-kernel path to float epsilon
             # (bit-identical on hardware at the headline pose). Views
             # outside the v3 footprint envelope keep the two-kernel
             # fallback ladder.
@@ -392,7 +394,9 @@ def fit(
                     scene, view, target, fast=True,
                     window=None if window is None else tuple(window),
                     flush=flush, plan=plan, need_dtf=train_tf,
-                    need_dvol=train_density, esl=_esl)
+                    need_dvol=train_density, esl=_esl,
+                    shaded=shading == "diffuse",
+                    phong=shading == "phong", light_kd=light_kd)
         return make_train_step(
             optimizer, loss_fn=loss_fn,
             train_density=train_density, train_tf=train_tf, mesh=mesh,
