@@ -213,6 +213,20 @@ _RMW_DEFER_READ = True
 # Measurement flag (j210).
 _TF_PACK_BF16 = False
 
+# Cross-tile write-drain deferral (DEFAULT on; rides _RMW_DEFER_READ):
+# instead of draining the tile's final flush write-backs at the end of
+# every grid step (the last one just issued -> fully exposed ~0.84 us
+# per tile), a persistent 2-flag SMEM scratch records which rmw slots
+# hold outstanding writes; the NEXT tile's first deferred session read
+# drains both flagged slots — one group of compute after the writes
+# were issued, so they have already landed. The final grid step drains
+# whatever remains. No plan changes: the flags are maintained
+# dynamically, so ERT early exits are handled too. MEASURED NEUTRAL at
+# the headline (152.8 vs 152.0 ms, j216 — the end drain was already
+# hidden under the out-tile copy-out); default OFF, kept for configs
+# with larger flush boxes where the exit write is slower to land.
+_RMW_XTILE = False
+
 # bf16 operands for the trans2 dTF equality matmul (fast mode only):
 # E is exact in bf16; A rounds (~0.4% relative on the TF cotangent).
 # Measurement flag (j205) — default off.
@@ -1458,7 +1472,8 @@ def _bwd_kernel(
         brick_ref, sem = rest[i], rest[i + 1]
         i += 2
         bz, by = brick_ref.shape[1], brick_ref.shape[2]
-    acc_ref, rmw_ref, sem_r, sem_w, dtfacc_ref = rest[i:i + 5]
+    acc_ref, rmw_ref, sem_r, sem_w, dtfacc_ref, pers_ref = \
+        rest[i:i + 6]
     # Gradient-scatter x box: the per-band planned x line bounds the tap
     # footprint, so Dx is written sparsely into a zeroed (wx, R) scratch
     # (XBOX rows) instead of building the dense hat matrix. Misses are
@@ -1466,10 +1481,10 @@ def _bwd_kernel(
     # light/gradient taps have their own x coordinates).
     xbw = window[5] if len(window) > 5 else 0
     use_xbox = not shade and not phong and 0 < xbw < wx
-    dxs_ref = rest[i + 5] if use_xbox else None
+    dxs_ref = rest[i + 6] if use_xbox else None
     use_sep = _DTF_SEP and not shade and not phong
     if use_sep:
-        j = i + 5 + (1 if use_xbox else 0)
+        j = i + 6 + (1 if use_xbox else 0)
         ohf_ref, oht_ref = rest[j], rest[j + 1]
     del dv0_in_ref, dv1_in_ref, dv2_in_ref, dv3_in_ref  # aliased
     abl = _BWD_ABLATE
@@ -1508,6 +1523,15 @@ def _bwd_kernel(
     @pl.when(pl.program_id(0) == 0)
     def _():
         dtf_ref[...] = jnp.zeros_like(dtf_ref)
+
+    use_xtile = (_RMW_XTILE and _RMW_DEFER_READ and need_dvol
+                 and "flush" not in abl)
+    if use_xtile:
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            pers_ref[0] = 0
+            pers_ref[1] = 0
+    pw_pers = [pers_ref[0], pers_ref[1]] if use_xtile else None
 
     dtfacc_ref[...] = jnp.zeros_like(dtfacc_ref)
     if need_dvol:
@@ -1621,6 +1645,16 @@ def _bwd_kernel(
             for s in range(2):
                 @pl.when((rdpend > 0) & ((k & 1) == s))
                 def _(s=s):
+                    if use_xtile:
+                        # First session of the tile: drain the PREVIOUS
+                        # tile's outstanding flush write-backs (flagged
+                        # in pers) before any read touches the slots or
+                        # their HBM boxes — issued one group ago at its
+                        # exit flush, so they have already landed.
+                        for q in range(2):
+                            @pl.when((k == 0) & (pw_pers[q] > 0))
+                            def _(q=q):
+                                _rmw_wait_write(q)
                     @pl.when(wf > 0)
                     def _(s=s):
                         _rmw_wait_write(1 - s)
@@ -2279,6 +2313,11 @@ def _bwd_kernel(
         for s in range(2):
             @pl.when((k >= 0) & (rdpend_x > 0) & ((k & 1) == s))
             def _(s=s):
+                if use_xtile:
+                    for q in range(2):
+                        @pl.when((k == 0) & (pw_pers[q] > 0))
+                        def _(q=q):
+                            _rmw_wait_write(q)
                 @pl.when(wf > 0)
                 def _(s=s):
                     _rmw_wait_write(1 - s)
@@ -2288,15 +2327,33 @@ def _bwd_kernel(
     def _():
         flush(azo, ayo, axo, aph, rzo, ryo, k)
 
-    # Drain the outstanding write-backs before the kernel ends: the
-    # final session's, and the one before it unless the final session's
-    # S_WAIT already drained it (never wait a semaphore twice).
+    # Outstanding write-backs at grid-step end: the final session's,
+    # and the one before it unless the final session's S_WAIT already
+    # drained it (never wait a semaphore twice). With use_xtile they
+    # are RECORDED (pers flags) and drained by the next tile's first
+    # deferred read instead of blocking here; the last grid step (and
+    # trailing sessionless tiles' inherited flags) drain for real.
     if need_dvol and "flush" not in abl:
-        for s in range(2):
-            @pl.when(((k >= 0) & ((k & 1) == s))
-                     | ((k >= 1) & ((k & 1) != s) & (wf == 0)))
-            def _(s=s):
-                _rmw_wait_write(s)
+        outw = [((k >= 0) & ((k & 1) == s))
+                | ((k >= 1) & ((k & 1) != s) & (wf == 0))
+                for s in range(2)]
+        if use_xtile:
+            last = pl.program_id(0) == pl.num_programs(0) - 1
+            for s in range(2):
+                @pl.when(last & jnp.where(k >= 0, outw[s],
+                                          pw_pers[s] > 0))
+                def _(s=s):
+                    _rmw_wait_write(s)
+
+            @pl.when(k >= 0)
+            def _():
+                pers_ref[0] = outw[0].astype(jnp.int32)
+                pers_ref[1] = outw[1].astype(jnp.int32)
+        else:
+            for s in range(2):
+                @pl.when(outw[s])
+                def _(s=s):
+                    _rmw_wait_write(s)
 
     if slab:
         # Seed cotangent: out = seed + (1 - acc0) * U with U the unseeded
@@ -2475,6 +2532,7 @@ def _pallas_fused(scal, org, rays_t, vols, tfl, tgt8, *, dims, ray_step,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM(tfl.shape, jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
         ] + ([pltpu.VMEM((wx, R), jnp.float32)] if use_xbox else [])
         + ([pltpu.VMEM((TF_SIZE, R), jnp.float32),
             pltpu.VMEM((TF_SIZE, R), jnp.float32)] if use_sep else []),
@@ -2779,6 +2837,7 @@ def _pallas_bwd(scal, org, rays_t, vols, tfl, gG, *, dims, ray_step,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM(tfl.shape, jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
         ] + ([pltpu.VMEM((wx, R), jnp.float32)]
              if (not shade and not phong
                  and 0 < (window[5] if len(window) > 5 else 0) < wx)
