@@ -48,7 +48,11 @@ def main() -> int:
     # 192.0 ms (flush 96,16 — the y box was the lever)); overflow- and
     # flush-coverage-clean at this pose by the plan replay, gradient
     # parity ~1e-8 vs XLA autodiff.
-    window = (4, 16, 64, 32, 32) if backend != "cpu" else None
+    # Brick pads (32, 24): z needs the full in-group drift (G=32 bands
+    # x ~1 voxel/band at this pose) but y drifts ~0, so the y pad
+    # shrinks one step — guard-validated (planned_window_ovf == 0 at
+    # G=32), loss-exact, 151.2 vs 152.1-152.7 ms (j220).
+    window = (4, 16, 64, 32, 24) if backend != "cpu" else None
     flush = (96, 16) if backend != "cpu" else None
     gsize = 32 if backend != "cpu" else None
     # Round 5 session 2: the step runs as ONE kernel launch
